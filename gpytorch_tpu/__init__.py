@@ -1,0 +1,132 @@
+"""gpytorch_tpu — a TPU-native Gaussian process framework (JAX/XLA/Pallas).
+
+Re-creates the full capability surface of GPyTorch (cornellius-gp/gpytorch) with a
+TPU-first architecture: pytree LinearOperator algebra, mBCG/SLQ matmul-based inference,
+Pallas kernels for the hot covariance ops, and `jax.sharding` data-parallel solves.
+
+The functional façade below mirrors gpytorch/__init__.py:34-283.
+"""
+
+from __future__ import annotations
+
+from . import (
+    constraints,
+    distributions,
+    kernels,
+    likelihoods,
+    linop,
+    means,
+    mlls,
+    models,
+    ops,
+    settings,
+    solvers,
+    utils,
+)
+from .core.module import Module
+from .linop import to_dense, to_linear_operator
+from .solvers import psd_safe_cholesky
+
+__version__ = "0.1.0"
+
+
+# -------------------------------------------------------------------------------------
+# Functional linear-algebra API (reference: gpytorch/__init__.py:34-283)
+# -------------------------------------------------------------------------------------
+
+def add_diagonal(input, diag):
+    """Reference: gpytorch/__init__.py:34."""
+    return to_linear_operator(input).add_diagonal(diag)
+
+
+def add_jitter(input, jitter_val=1e-3):
+    return to_linear_operator(input).add_jitter(jitter_val)
+
+
+def inv_quad(input, inv_quad_rhs, reduce_inv_quad=True):
+    """Reference: gpytorch/__init__.py:98."""
+    return to_linear_operator(input).inv_quad(inv_quad_rhs, reduce_inv_quad=reduce_inv_quad)
+
+
+def inv_quad_logdet(input, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True):
+    """Reference: gpytorch/__init__.py:118 — the mBCG/BBMM hot path."""
+    return to_linear_operator(input).inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad=reduce_inv_quad)
+
+
+def logdet(input):
+    return to_linear_operator(input).logdet()
+
+
+def matmul(input, other):
+    return to_linear_operator(input).matmul(other)
+
+
+def pivoted_cholesky(input, rank, error_tol=None, return_pivots=False):
+    """Reference: gpytorch/__init__.py:146."""
+    from .solvers.pivoted_cholesky import pivoted_cholesky as _pc
+
+    return _pc(to_linear_operator(input), rank)
+
+
+def root_decomposition(input, method=None):
+    """Reference: gpytorch/__init__.py:176."""
+    return to_linear_operator(input).root_decomposition(method=method)
+
+
+def root_inv_decomposition(input, initial_vectors=None, test_vectors=None, method=None):
+    """Reference: gpytorch/__init__.py:200."""
+    return to_linear_operator(input).root_inv_decomposition(
+        initial_vectors=initial_vectors, test_vectors=test_vectors, method=method
+    )
+
+
+def solve(input, rhs, lhs=None):
+    """Reference: gpytorch/__init__.py:220."""
+    return to_linear_operator(input).solve(rhs, lhs)
+
+
+def sqrt_inv_matmul(input, rhs, lhs=None):
+    """Reference: gpytorch/__init__.py:252 (CIQ)."""
+    return to_linear_operator(input).sqrt_inv_matmul(rhs, lhs)
+
+
+def dsmm(sparse_indices, sparse_values, dense, output_dim):
+    """Sparse @ dense matmul (interpolation weights form; reference gpytorch/__init__.py dsmm).
+
+    TPU-native form: the sparse matrix is given in (indices, values) per-row COO form as used
+    by SKI interpolation; lowered to gathers/segment-sums (see ops/interp.py)."""
+    from .ops.interp import left_interp
+
+    return left_interp(sparse_indices, sparse_values, dense)
+
+
+__all__ = [
+    "Module",
+    "add_diagonal",
+    "add_jitter",
+    "constraints",
+    "distributions",
+    "dsmm",
+    "inv_quad",
+    "inv_quad_logdet",
+    "kernels",
+    "likelihoods",
+    "linop",
+    "logdet",
+    "matmul",
+    "means",
+    "mlls",
+    "models",
+    "ops",
+    "pivoted_cholesky",
+    "psd_safe_cholesky",
+    "root_decomposition",
+    "root_inv_decomposition",
+    "settings",
+    "solve",
+    "solvers",
+    "sqrt_inv_matmul",
+    "to_dense",
+    "to_linear_operator",
+    "utils",
+]

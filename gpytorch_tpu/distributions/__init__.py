@@ -1,0 +1,40 @@
+from .delta import Delta
+from .distribution import Distribution
+from .multitask_multivariate_normal import MultitaskMultivariateNormal
+from .multivariate_normal import MultivariateNormal, kl_divergence
+from .normal import (
+    Bernoulli,
+    Beta,
+    Categorical,
+    Gamma,
+    HalfCauchy,
+    HalfNormal,
+    Laplace,
+    LogNormal,
+    NegativeBinomial,
+    Normal,
+    Poisson,
+    StudentT,
+    Uniform,
+)
+
+__all__ = [
+    "Bernoulli",
+    "Beta",
+    "Categorical",
+    "Delta",
+    "Distribution",
+    "Gamma",
+    "HalfCauchy",
+    "HalfNormal",
+    "Laplace",
+    "LogNormal",
+    "MultitaskMultivariateNormal",
+    "MultivariateNormal",
+    "NegativeBinomial",
+    "Normal",
+    "Poisson",
+    "StudentT",
+    "Uniform",
+    "kl_divergence",
+]

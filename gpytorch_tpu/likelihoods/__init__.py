@@ -1,0 +1,31 @@
+from .likelihood import Likelihood, LikelihoodList, _OneDimensionalLikelihood
+from .gaussian_likelihood import (
+    DirichletClassificationLikelihood,
+    FixedNoiseGaussianLikelihood,
+    GaussianLikelihood,
+    GaussianLikelihoodWithMissingObs,
+    HadamardGaussianLikelihood,
+    _GaussianLikelihoodBase,
+)
+from .noise_models import (
+    FixedGaussianNoise,
+    HeteroskedasticNoise,
+    HomoskedasticNoise,
+    MultitaskHomoskedasticNoise,
+)
+
+__all__ = [
+    "DirichletClassificationLikelihood",
+    "FixedGaussianNoise",
+    "FixedNoiseGaussianLikelihood",
+    "GaussianLikelihood",
+    "GaussianLikelihoodWithMissingObs",
+    "HadamardGaussianLikelihood",
+    "HeteroskedasticNoise",
+    "HomoskedasticNoise",
+    "Likelihood",
+    "LikelihoodList",
+    "MultitaskHomoskedasticNoise",
+    "_GaussianLikelihoodBase",
+    "_OneDimensionalLikelihood",
+]

