@@ -16,12 +16,16 @@ from . import (
     likelihoods,
     linop,
     means,
+    metrics,
     mlls,
     models,
     ops,
+    optim,
+    priors,
     settings,
     solvers,
     utils,
+    variational,
 )
 from .core.module import Module
 from .linop import to_dense, to_linear_operator

@@ -107,19 +107,14 @@ class Module(DictPyTree):
 
     # -- traversal -----------------------------------------------------------------------
     def children(self) -> Iterator["Module"]:
-        d = object.__getattribute__(self, "__dict__")
-        for k in sorted(d.keys()):
-            v = d[k]
-            if isinstance(v, Module):
-                yield v
-            elif isinstance(v, (list, tuple)):
-                for item in v:
-                    if isinstance(item, Module):
-                        yield item
+        for _, child in self.named_children():
+            yield child
 
     def named_children(self) -> Iterator[Tuple[str, "Module"]]:
         d = object.__getattribute__(self, "__dict__")
         for k in sorted(d.keys()):
+            if k in self._pytree_ignore:  # excluded refs (e.g. back-pointers) — not children
+                continue
             v = d[k]
             if isinstance(v, Module):
                 yield k, v

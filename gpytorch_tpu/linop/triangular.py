@@ -110,7 +110,9 @@ class CholLinearOperator(LinearOperator):
         return res[..., 0] if squeeze else res
 
     def logdet(self):
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.L, axis1=-2, axis2=-1)), axis=-1)
+        # |L Lᵀ| is invariant to column signs of L — abs handles unconstrained variational
+        # Cholesky parameters whose diagonal may go negative during optimization.
+        return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(self.L, axis1=-2, axis2=-1)) + 1e-20), axis=-1)
 
     def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
         ld = self.logdet() if logdet else None

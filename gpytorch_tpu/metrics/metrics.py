@@ -1,0 +1,75 @@
+"""Evaluation metrics on predictive distributions
+(reference: gpytorch/metrics/metrics.py — MAE :12, MSE :23, SMSE :38, NLPD :49, MSLL :61,
+quantile coverage error :93)."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import MultitaskMultivariateNormal, MultivariateNormal
+
+
+def _combine_dims(pred, arr):
+    if isinstance(pred, MultitaskMultivariateNormal):
+        return arr.reshape(arr.shape[: -len(pred.event_shape)] + (-1,))
+    return arr
+
+
+def mean_absolute_error(pred_dist: MultivariateNormal, test_y: jax.Array) -> jax.Array:
+    """Reference :12."""
+    diff = jnp.abs(pred_dist.mean - test_y)
+    return jnp.mean(_combine_dims(pred_dist, diff), axis=-1)
+
+
+def mean_squared_error(pred_dist: MultivariateNormal, test_y: jax.Array, squared: bool = True) -> jax.Array:
+    """Reference :23."""
+    diff = (pred_dist.mean - test_y) ** 2
+    res = jnp.mean(_combine_dims(pred_dist, diff), axis=-1)
+    return res if squared else jnp.sqrt(res)
+
+
+def standardized_mean_squared_error(pred_dist: MultivariateNormal, test_y: jax.Array) -> jax.Array:
+    """MSE / Var(y) (reference :38)."""
+    return mean_squared_error(pred_dist, test_y) / jnp.var(_combine_dims(pred_dist, test_y), axis=-1)
+
+
+def negative_log_predictive_density(pred_dist: MultivariateNormal, test_y: jax.Array) -> jax.Array:
+    """−log p(y*)/n (reference :49)."""
+    n = 1
+    for s in pred_dist.event_shape:
+        n *= s
+    return -pred_dist.log_prob(test_y) / n
+
+
+def mean_standardized_log_loss(
+    pred_dist: MultivariateNormal, test_y: jax.Array, train_y=None
+) -> jax.Array:
+    """Standardized log loss (reference :61); if train_y given, subtract the trivial model."""
+    mean = pred_dist.mean
+    var = pred_dist.variance
+    ll = 0.5 * jnp.log(2 * math.pi * var) + (test_y - mean) ** 2 / (2 * var)
+    res = jnp.mean(_combine_dims(pred_dist, ll), axis=-1)
+    if train_y is not None:
+        tm = jnp.mean(train_y, axis=-1, keepdims=True)
+        tv = jnp.var(train_y, axis=-1, keepdims=True)
+        triv = 0.5 * jnp.log(2 * math.pi * tv) + (test_y - tm) ** 2 / (2 * tv)
+        res = res - jnp.mean(_combine_dims(pred_dist, triv), axis=-1)
+    return res
+
+
+def quantile_coverage_error(pred_dist: MultivariateNormal, test_y: jax.Array, quantile: float = 95.0) -> jax.Array:
+    """|empirical coverage − nominal| (reference :93)."""
+    if not 0 < quantile < 100:
+        raise NotImplementedError("quantile must be in (0, 100)")
+    from jax.scipy.special import erfinv
+
+    standard_normal_quantile = erfinv(quantile / 100.0) * math.sqrt(2.0)
+    deviation = standard_normal_quantile * pred_dist.stddev
+    lower = pred_dist.mean - deviation
+    upper = pred_dist.mean + deviation
+    covered = jnp.logical_and(test_y > lower, test_y < upper).astype(test_y.dtype)
+    fraction = jnp.mean(_combine_dims(pred_dist, covered), axis=-1)
+    return jnp.abs(fraction - quantile / 100.0)
