@@ -7,6 +7,7 @@ from .gaussian_likelihood import (
     HadamardGaussianLikelihood,
     _GaussianLikelihoodBase,
 )
+from .multitask_gaussian_likelihood import MultitaskGaussianLikelihood
 from .noise_models import (
     FixedGaussianNoise,
     HeteroskedasticNoise,
@@ -25,6 +26,7 @@ __all__ = [
     "HomoskedasticNoise",
     "Likelihood",
     "LikelihoodList",
+    "MultitaskGaussianLikelihood",
     "MultitaskHomoskedasticNoise",
     "_GaussianLikelihoodBase",
     "_OneDimensionalLikelihood",

@@ -209,7 +209,12 @@ class KroneckerProductAddedDiagLinearOperator(LinearOperator):
     def _eigs(self):
         qs, lams = [], []
         for f in self.kron.factors:
-            lam, q = jnp.linalg.eigh(f.to_dense())
+            if isinstance(f, DiagLinearOperator):
+                # trivial eigendecomposition for diagonal (incl. identity) factors
+                lam = f._diag_values()
+                q = jnp.eye(f.shape[-1], dtype=lam.dtype)
+            else:
+                lam, q = jnp.linalg.eigh(f.to_dense())
             qs.append(q)
             lams.append(lam)
         # full eigenvalues = kron of factor eigenvalues
