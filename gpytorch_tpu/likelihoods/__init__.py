@@ -8,6 +8,16 @@ from .gaussian_likelihood import (
     _GaussianLikelihoodBase,
 )
 from .multitask_gaussian_likelihood import MultitaskGaussianLikelihood
+from .non_gaussian import (
+    BernoulliLikelihood,
+    BetaLikelihood,
+    LaplaceLikelihood,
+    NegativeBinomialLikelihood,
+    PoissonLikelihood,
+    SoftmaxLikelihood,
+    StudentTLikelihood,
+    log_normal_cdf,
+)
 from .noise_models import (
     FixedGaussianNoise,
     HeteroskedasticNoise,
@@ -16,7 +26,15 @@ from .noise_models import (
 )
 
 __all__ = [
+    "BernoulliLikelihood",
+    "BetaLikelihood",
     "DirichletClassificationLikelihood",
+    "LaplaceLikelihood",
+    "NegativeBinomialLikelihood",
+    "PoissonLikelihood",
+    "SoftmaxLikelihood",
+    "StudentTLikelihood",
+    "log_normal_cdf",
     "FixedGaussianNoise",
     "FixedNoiseGaussianLikelihood",
     "GaussianLikelihood",

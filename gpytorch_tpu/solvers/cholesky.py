@@ -31,13 +31,20 @@ def psd_safe_cholesky(A: jax.Array, jitter: Optional[float] = None, max_tries: O
     if settings.verbose_linalg.on():
         settings.logger.debug(f"Running Cholesky on a matrix of size {A.shape}.")
 
-    L = jnp.linalg.cholesky(A + jitter * eye)
+    # Select the jitter level on a stop-gradient copy: a failed attempt yields NaN, and the
+    # VJP of an unused NaN-producing branch is NaN (0·NaN) — so no differentiable Cholesky
+    # may ever fail.  The final (single) differentiable factorization uses the jitter level
+    # that was verified to succeed.
+    A_sg = jax.lax.stop_gradient(A)
+    L_probe = jnp.linalg.cholesky(A_sg + jitter * eye)
+    level = jnp.zeros((), dtype=A.dtype)
     for i in range(1, int(max_tries) + 1):
-        jitter_i = jitter * (10.0 ** i)
-        bad = jnp.any(jnp.isnan(L))
-        L = jax.lax.cond(
+        bad = jnp.any(jnp.isnan(L_probe))
+        level = jnp.where(bad, jnp.asarray(float(i), dtype=A.dtype), level)
+        L_probe = jax.lax.cond(
             bad,
-            lambda A=A, j=jitter_i: jnp.linalg.cholesky(A + j * eye),
-            lambda L=L: L,
+            lambda A_sg=A_sg, j=jitter * (10.0 ** i): jnp.linalg.cholesky(A_sg + j * eye),
+            lambda L_probe=L_probe: L_probe,
         )
-    return L
+    jitter_sel = jitter * (10.0 ** level)
+    return jnp.linalg.cholesky(A + jitter_sel * eye)
