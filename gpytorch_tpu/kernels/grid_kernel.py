@@ -17,6 +17,7 @@ from .kernel import Kernel
 
 class GridKernel(Kernel):
     is_stationary_structure = True
+    returns_lazy_structure = True
 
     def __init__(self, base_kernel: Kernel, grid: List[jax.Array], interpolation_mode: bool = False, **kwargs):
         if not base_kernel.is_stationary:

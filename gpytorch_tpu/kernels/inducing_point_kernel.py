@@ -21,6 +21,7 @@ from .kernel import Kernel
 
 
 class InducingPointKernel(Kernel):
+    returns_lazy_structure = True
     def __init__(self, base_kernel: Kernel, inducing_points, likelihood, **kwargs):
         super().__init__(**kwargs)
         self.base_kernel = base_kernel

@@ -12,6 +12,7 @@ from .kernel import Kernel
 
 
 class LinearKernel(Kernel):
+    returns_lazy_structure = True
     def __init__(self, num_dimensions=None, offset_prior=None, variance_prior=None, variance_constraint=None, **kwargs):
         super().__init__(**kwargs)
         self.num_dimensions = num_dimensions

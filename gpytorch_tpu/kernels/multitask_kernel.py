@@ -14,6 +14,7 @@ from .kernel import Kernel
 
 
 class MultitaskKernel(Kernel):
+    returns_lazy_structure = True
     def __init__(self, data_covar_module: Kernel, num_tasks: int, rank: int = 1, task_covar_prior=None, **kwargs):
         super().__init__(**kwargs)
         self.task_covar_module = IndexKernel(
@@ -36,6 +37,7 @@ class MultitaskKernel(Kernel):
 
 
 class LCMKernel(Kernel):
+    returns_lazy_structure = True
     """Sum of MultitaskKernels — linear model of coregionalisation (reference: lcm_kernel.py:14)."""
 
     def __init__(self, base_kernels: List[Kernel], num_tasks: int, rank=1, task_covar_prior=None, **kwargs):

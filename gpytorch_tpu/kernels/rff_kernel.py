@@ -15,6 +15,7 @@ from .kernel import Kernel
 
 class RFFKernel(Kernel):
     has_lengthscale = True
+    returns_lazy_structure = True
 
     def __init__(self, num_samples: int, num_dims: Optional[int] = None, **kwargs):
         super().__init__(**kwargs)

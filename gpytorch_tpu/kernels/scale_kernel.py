@@ -29,6 +29,10 @@ class ScaleKernel(Kernel):
         return self.base_kernel.is_stationary
 
     @property
+    def returns_lazy_structure(self):
+        return getattr(self.base_kernel, "returns_lazy_structure", False)
+
+    @property
     def outputscale(self):
         return self._constrained("raw_outputscale")
 

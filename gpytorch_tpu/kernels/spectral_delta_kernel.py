@@ -14,6 +14,7 @@ from .kernel import Kernel
 
 class SpectralDeltaKernel(Kernel):
     has_lengthscale = True
+    returns_lazy_structure = True
 
     def __init__(self, num_dims: int, num_deltas: int = 128, Z_constraint=None, **kwargs):
         super().__init__(ard_num_dims=num_dims, **kwargs)

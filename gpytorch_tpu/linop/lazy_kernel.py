@@ -47,7 +47,17 @@ class LazyEvaluatedKernelOperator(LinearOperator):
 
     # -- evaluation --------------------------------------------------------------------
     def evaluate_kernel(self) -> LinearOperator:
-        """Run the kernel forward non-lazily (reference :344)."""
+        """Run the kernel forward non-lazily (reference :344).
+
+        Large plain-dense kernels stay lazy (their ``_matmul`` streams, Pallas-fused where
+        possible) — only kernels that return *structured* operators (SKI, SGPR, linear/RFF,
+        grid, multitask) are always evaluated, since their structure unlocks closed-form
+        solves regardless of size.
+        """
+        n, m = self.shape[-2:]
+        big = n * m > settings.max_eager_kernel_size.value() ** 2
+        if big and not getattr(self.kernel, "returns_lazy_structure", False):
+            return self
         with settings.lazily_evaluate_kernels(False):
             res = self.kernel.forward(self.x1, self.x2, last_dim_is_batch=self.last_dim_is_batch)
         return to_linear_operator(res)
@@ -68,7 +78,38 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         n, m = self.shape[-2:]
         if n * m <= settings.max_eager_kernel_size.value() ** 2 or self.last_dim_is_batch:
             return self.evaluate_kernel()._matmul(rhs)
+        fused = self._try_fused_matvec(rhs)
+        if fused is not None:
+            return fused
         return self._matmul_chunked(rhs)
+
+    def _try_fused_matvec(self, rhs):
+        """Dispatch to the Pallas streaming kernel matvec (the KeOps analogue) for
+        (Scale)(RBF|Matern) kernels without batching."""
+        from ..ops import pallas_kernels as pk
+
+        if self.batch_shape != () or rhs.ndim != 2:
+            return None
+        kernel = self.kernel
+        outputscale = None
+        from ..kernels.scale_kernel import ScaleKernel
+
+        if isinstance(kernel, ScaleKernel):
+            outputscale = kernel.outputscale
+            kernel = kernel.base_kernel
+        ktype = pk.kernel_type_for(kernel)
+        if ktype is None:
+            return None
+        ls = kernel.lengthscale  # (1, d) or (1, 1)
+        if ls.ndim != 2:
+            return None
+        center = jax.lax.stop_gradient(jnp.mean(self.x1, axis=-2, keepdims=True))
+        x1s = (self.x1 - center) / ls
+        x2s = (self.x2 - center) / ls
+        out = pk.fused_kernel_matvec(x1s, x2s, rhs, ktype)
+        if outputscale is not None:
+            out = out * outputscale
+        return out
 
     def _matmul_chunked(self, rhs):
         """Stream K·v by row blocks of x1 — never materializes the full kernel matrix."""

@@ -1,0 +1,273 @@
+"""Fused Pallas TPU kernels for streaming covariance matvecs — the KeOps analogue.
+
+Reference capability: gpytorch/kernels/keops/ (KeOps C++/CUDA meta-compiled kernels giving
+O(N) memory K·v products; keops_kernel.py:13-80).  TPU-native version: tiled Pallas kernels
+that stream X2/V blocks through VMEM, compute the pairwise-distance tile on the MXU
+(quadratic-expansion matmul), apply the stationary kernel elementwise on the VPU, and
+accumulate K·v — the N×N kernel matrix never exists in HBM.
+
+This single primitive is the hot op of mBCG at scale (every CG iteration is one of these);
+its custom VJP is two more fused passes (transpose-matvec for dV; weighted-moment pass for
+dX), so training never materializes K either.
+
+All kernels operate on *pre-scaled* inputs (x/ℓ already applied, mean-centered); lengthscale
+and outputscale gradients flow through the outer scaling ops via normal autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SQRT3 = math.sqrt(3.0)
+_SQRT5 = math.sqrt(5.0)
+
+# kernel ids
+RBF = 0
+MATERN05 = 1
+MATERN15 = 2
+MATERN25 = 3
+
+_BN = 512    # row tile
+_BM = 1024   # column tile
+_LANE = 128
+
+
+def _kernel_fn(d2, kernel_type: int):
+    if kernel_type == RBF:
+        return jnp.exp(-0.5 * d2)
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kernel_type == MATERN05:
+        return jnp.exp(-r)
+    if kernel_type == MATERN15:
+        s = _SQRT3 * r
+        return (1.0 + s) * jnp.exp(-s)
+    s = _SQRT5 * r
+    return (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+
+
+def _kernel_prime(d2, kernel_type: int):
+    """dk/d(d2)."""
+    if kernel_type == RBF:
+        return -0.5 * jnp.exp(-0.5 * d2)
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    inv_2r = 0.5 / r
+    if kernel_type == MATERN05:
+        return -jnp.exp(-r) * inv_2r
+    if kernel_type == MATERN15:
+        # dk/dr = -3 r exp(-√3 r) → dk/dd2 = -1.5 exp(-√3 r)
+        return -1.5 * jnp.exp(-_SQRT3 * r)
+    # ν=2.5: dk/dr = -(5/3) r (1+√5 r) exp(-√5 r) → dk/dd2 = -(5/6)(1+√5r)exp(-√5r)
+    return -(5.0 / 6.0) * (1.0 + _SQRT5 * r) * jnp.exp(-_SQRT5 * r)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------------------------
+# forward: out[i] = Σ_j k(‖x1_i − x2_j‖²) v_j
+# ----------------------------------------------------------------------------------------
+
+def _matvec_pallas(x1, x2, v, kernel_type: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x1.shape
+    m, t = v.shape[0], v.shape[1]
+    Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
+    Dp = max(_round_up(d, 8), 8)
+    Tp = _round_up(t, _LANE)
+    x1p = _pad_to(_pad_to(x1, Np, 0), Dp, 1)
+    x2p = _pad_to(_pad_to(x2, Mp, 0), Dp, 1)
+    vp = _pad_to(_pad_to(v, Mp, 0), Tp, 1)
+    nj = Mp // _BM
+
+    def kernel(x1_ref, x2_ref, v_ref, o_ref):
+        j = pl.program_id(1)
+        a = x1_ref[:]
+        b = x2_ref[:]
+        a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+        b2 = jnp.sum(b * b, axis=-1)[None, :]
+        ab = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
+        kv = _kernel_fn(d2, kernel_type).astype(v_ref.dtype)
+        # K@V at default (one-pass) MXU precision: kernel values are in [0,1] and CG's
+        # residual-based stopping absorbs the ~1e-3 rounding; the distance matmul above
+        # stays HIGHEST (catastrophic cancellation otherwise).
+        pv = jnp.dot(kv, v_ref[:], preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = pv
+
+        @pl.when(j != 0)
+        def _():
+            o_ref[:] = o_ref[:] + pv
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Np // _BN, nj),
+        in_specs=[
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+    )(x1p, x2p, vp)
+    return out[:n, :t]
+
+
+# ----------------------------------------------------------------------------------------
+# backward moment pass:
+#   dX1[i] = 2 Σ_j k'(d2_ij) (g_i · v_j) (x1_i − x2_j)
+#          = 2 [ (Σ_j W_ij) x1_i − Σ_j W_ij x2_j ],   W_ij = k'(d2_ij)(g_i·v_j)
+# ----------------------------------------------------------------------------------------
+
+def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
+    from jax.experimental import pallas as pl
+
+    n, d = x1.shape
+    m = x2.shape[0]
+    t = v.shape[1]
+    Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
+    Dp = max(_round_up(d, 8), 8)
+    Tp = _round_up(t, _LANE)
+    x1p = _pad_to(_pad_to(x1, Np, 0), Dp, 1)
+    x2p = _pad_to(_pad_to(x2, Mp, 0), Dp, 1)
+    gp = _pad_to(_pad_to(g, Np, 0), Tp, 1)
+    vp = _pad_to(_pad_to(v, Mp, 0), Tp, 1)
+    nj = Mp // _BM
+
+    def kernel(x1_ref, x2_ref, g_ref, v_ref, dx1_ref):
+        j = pl.program_id(1)
+        a = x1_ref[:]
+        b = x2_ref[:]
+        a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+        b2 = jnp.sum(b * b, axis=-1)[None, :]
+        ab = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
+        kp = _kernel_prime(d2, kernel_type)
+        gv = jax.lax.dot_general(
+            g_ref[:], v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (BN, BM)
+        W = kp * gv
+        rowsum = jnp.sum(W, axis=-1, keepdims=True)  # (BN, 1)
+        Wx2 = jnp.dot(W.astype(b.dtype), b, preferred_element_type=jnp.float32)  # (BN, D)
+        upd = 2.0 * (rowsum * a - Wx2).astype(dx1_ref.dtype)
+
+        @pl.when(j == 0)
+        def _():
+            dx1_ref[:] = upd
+
+        @pl.when(j != 0)
+        def _():
+            dx1_ref[:] = dx1_ref[:] + upd
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Np // _BN, nj),
+        in_specs=[
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, Dp), x1.dtype),
+    )(x1p, x2p, gp, vp)
+    return out[:n, :d]
+
+
+# ----------------------------------------------------------------------------------------
+# jnp reference path (CPU tests / fallback) — identical math
+# ----------------------------------------------------------------------------------------
+
+def _matvec_reference(x1, x2, v, kernel_type: int):
+    from .sq_dist import sq_dist
+
+    d2 = sq_dist(x1, x2)
+    return jnp.matmul(_kernel_fn(d2, kernel_type), v, precision=jax.lax.Precision.HIGHEST)
+
+
+def _use_pallas() -> bool:
+    from .. import settings
+
+    if not settings.use_pallas.on():
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# ----------------------------------------------------------------------------------------
+# public custom-vjp primitive
+# ----------------------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_kernel_matvec(x1, x2, v, kernel_type: int):
+    """out = K(x1, x2) @ v for pre-scaled inputs, streaming (never materializes K).
+
+    x1: (n, d); x2: (m, d); v: (m, t) → (n, t).
+    """
+    if _use_pallas():
+        return _matvec_pallas(x1, x2, v, kernel_type)
+    return _matvec_reference(x1, x2, v, kernel_type)
+
+
+def _fkm_fwd(x1, x2, v, kernel_type):
+    out = fused_kernel_matvec(x1, x2, v, kernel_type)
+    return out, (x1, x2, v)
+
+
+def _fkm_bwd(kernel_type, res, g):
+    x1, x2, v = res
+    # dV = K(x2, x1) @ g   (stationary kernels: Kᵀ(x1,x2) = K(x2,x1))
+    dv = fused_kernel_matvec(x2, x1, g, kernel_type)
+    if _use_pallas():
+        dx1 = _grad_x_pallas(x1, x2, g, v, kernel_type)
+        dx2 = _grad_x_pallas(x2, x1, v, g, kernel_type)
+    else:
+        from .sq_dist import sq_dist
+
+        d2 = sq_dist(x1, x2)
+        W = _kernel_prime(d2, kernel_type) * (g @ v.T)
+        dx1 = 2.0 * (jnp.sum(W, axis=-1, keepdims=True) * x1 - W @ x2)
+        dx2 = 2.0 * (jnp.sum(W, axis=0)[:, None] * x2 - W.T @ x1)
+    return dx1, dx2, dv
+
+
+fused_kernel_matvec.defvjp(_fkm_fwd, _fkm_bwd)
+
+
+def kernel_type_for(kernel) -> Optional[int]:
+    """Map a kernel module to a fused-kernel id (None if unsupported)."""
+    from ..kernels.stationary import MaternKernel, RBFKernel
+
+    if type(kernel) is RBFKernel:
+        return RBF
+    if type(kernel) is MaternKernel:
+        return {0.5: MATERN05, 1.5: MATERN15, 2.5: MATERN25}[kernel.nu]
+    return None

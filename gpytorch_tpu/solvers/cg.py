@@ -44,13 +44,30 @@ def linear_cg(
     tolerance: Optional[float] = None,
     n_tridiag_iter: int = 0,
     eps: float = 1e-10,
+    axis_name: Optional[str] = None,
+    global_n: Optional[int] = None,
 ) -> CGResult:
-    """Solve A x = rhs for all columns of rhs simultaneously."""
+    """Solve A x = rhs for all columns of rhs simultaneously.
+
+    ``axis_name``: when running under ``shard_map`` with rows sharded over a mesh axis, pass
+    the axis name — all inner products and norms are then ``psum``-reduced so every device
+    runs an identical CG trajectory on its row block (the distributed mBCG of SURVEY §2.2).
+    """
+
+    def _reduce_sum(x, axis):
+        s = jnp.sum(x, axis=axis)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+        return s
+
+    def _col_norm(x):
+        return jnp.sqrt(jnp.maximum(_reduce_sum(x * x, -2), 0.0))
+
     if max_iter is None:
         max_iter = settings.max_cg_iterations.value()
     if tolerance is None:
         tolerance = settings.cg_tolerance.value()
-    n = rhs.shape[-2]
+    n = rhs.shape[-2] if global_n is None else global_n
     max_iter = int(min(max_iter, 2 * n + 10))
     n_tridiag_iter = int(min(n_tridiag_iter, max_iter))
     if precond_fn is None:
@@ -58,7 +75,7 @@ def linear_cg(
 
     dt = rhs.dtype
     # normalize each column for scale-free tolerance (reference: linear_operator linear_cg)
-    rhs_norm = jnp.linalg.norm(rhs, axis=-2, keepdims=True)
+    rhs_norm = _col_norm(rhs)[..., None, :]
     rhs_is_zero = rhs_norm < eps
     rhs_norm = jnp.where(rhs_is_zero, jnp.ones_like(rhs_norm), rhs_norm)
     b = rhs / rhs_norm
@@ -67,7 +84,7 @@ def linear_cg(
     r0 = b
     z0 = precond_fn(r0)
     p0 = z0
-    rz0 = jnp.sum(r0 * z0, axis=-2)  # (..., t)
+    rz0 = _reduce_sum(r0 * z0, -2)  # (..., t)
 
     batch_t = rz0.shape
     alphas0 = jnp.zeros((max(n_tridiag_iter, 1),) + batch_t, dtype=dt)
@@ -83,7 +100,7 @@ def linear_cg(
     def body(state):
         k, x, r, z, p, rz, alphas, betas, conv = state
         Ap = matmul_fn(p)
-        pAp = jnp.sum(p * Ap, axis=-2)  # (..., t)
+        pAp = _reduce_sum(p * Ap, -2)  # (..., t)
         safe_pAp = jnp.where(jnp.abs(pAp) < eps, jnp.ones_like(pAp), pAp)
         alpha_raw = rz / safe_pAp
         krylov_dead = jnp.logical_or(jnp.abs(pAp) < eps, rz < eps)
@@ -91,11 +108,11 @@ def linear_cg(
 
         x = x + alpha[..., None, :] * p
         r = r - alpha[..., None, :] * Ap
-        resid = jnp.linalg.norm(r, axis=-2)
+        resid = _col_norm(r)
         conv_new = jnp.logical_or(conv, resid < tolerance)
 
         z = precond_fn(r)
-        rz_new = jnp.sum(r * z, axis=-2)
+        rz_new = _reduce_sum(r * z, -2)
         safe_rz = jnp.where(jnp.abs(rz) < eps, jnp.ones_like(rz), rz)
         beta_raw = rz_new / safe_rz
         beta = jnp.where(jnp.logical_or(conv_new, krylov_dead), jnp.zeros_like(beta_raw), beta_raw)
@@ -123,8 +140,8 @@ def linear_cg(
     if settings.verbose_linalg.on():
         settings.logger.debug(f"linear_cg: shape {rhs.shape}, max_iter {max_iter}")
     if n_tridiag_iter > 0:
-        return CGResult(solution, alphas[:n_tridiag_iter], betas[:n_tridiag_iter], k, jnp.linalg.norm(r, axis=-2))
-    return CGResult(solution, None, None, k, jnp.linalg.norm(r, axis=-2))
+        return CGResult(solution, alphas[:n_tridiag_iter], betas[:n_tridiag_iter], k, _col_norm(r))
+    return CGResult(solution, None, None, k, _col_norm(r))
 
 
 def tridiag_from_coeffs(alphas: jax.Array, betas: jax.Array) -> jax.Array:
