@@ -68,8 +68,12 @@ class MultivariateNormal(Distribution):
         return self.loc.dtype
 
     # -- densities ---------------------------------------------------------------------------
-    def log_prob(self, value: jax.Array) -> jax.Array:
-        """Reference: multivariate_normal.py:221-252 → one inv_quad_logdet call (mBCG)."""
+    def log_prob(self, value: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
+        """Reference: multivariate_normal.py:221-252 → one inv_quad_logdet call (mBCG).
+
+        ``key`` seeds the SLQ probe vectors; pass a fresh key per optimizer step inside a
+        jitted training loop (otherwise probes are frozen at trace time).
+        """
         if settings.fast_computations.log_prob.off():
             return self._log_prob_cholesky(value)
         diff = value - self.loc
@@ -78,7 +82,7 @@ class MultivariateNormal(Distribution):
             # broadcast sample dims: fold extra dims into columns where possible
             target = jnp.broadcast_shapes(diff.shape[:-1], self.batch_shape)
             diff = jnp.broadcast_to(diff, target + diff.shape[-1:])
-        inv_quad, logdet = covar.inv_quad_logdet(inv_quad_rhs=diff[..., None], logdet=True)
+        inv_quad, logdet = covar.inv_quad_logdet(inv_quad_rhs=diff[..., None], logdet=True, key=key)
         n = self.event_shape[0]
         return -0.5 * (inv_quad + logdet + n * math.log(2 * math.pi))
 

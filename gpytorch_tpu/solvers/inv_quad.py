@@ -40,8 +40,27 @@ class _IQConfig:
     n_tridiag_iter: int
     max_iter: int
     tolerance: float
-    seed: int
     skip_logdet_forward: bool
+
+
+# Host-level probe counter: when no explicit key is given and deterministic_probes is off,
+# each *trace* of the objective gets a fresh seed (matching the reference's default of fresh
+# probes per call).  Under jit re-execution the traced key is frozen — pass an explicit
+# ``key`` per step (e.g. ``mll(output, y, key=k)``) for fresh probes inside a jitted loop.
+_PROBE_COUNTER = [0]
+
+
+def _resolve_probe_key(key: Optional[jax.Array]) -> jax.Array:
+    if settings.deterministic_probes.on():
+        # Opt-in variance-reduction mode (reference: linear_operator settings.deterministic_probes):
+        # identical probes every call → deterministic-but-biased logdet gradients.
+        return jax.random.PRNGKey(0)
+    if key is not None:
+        if isinstance(key, int):
+            return jax.random.PRNGKey(key)
+        return key
+    _PROBE_COUNTER[0] += 1
+    return jax.random.PRNGKey(_PROBE_COUNTER[0])
 
 
 def inv_quad_logdet_mbcg(
@@ -52,9 +71,6 @@ def inv_quad_logdet_mbcg(
     key: Optional[jax.Array] = None,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
     has_rhs = inv_quad_rhs is not None
-    seed = 0
-    if key is not None:
-        seed = int(jax.random.randint(key, (), 0, 2**31 - 1)) if not isinstance(key, int) else key
     cfg = _IQConfig(
         has_rhs=has_rhs,
         logdet=bool(logdet),
@@ -63,7 +79,6 @@ def inv_quad_logdet_mbcg(
         n_tridiag_iter=int(settings.max_lanczos_quadrature_iterations.value()),
         max_iter=int(settings.max_cg_iterations.value()),
         tolerance=float(settings.cg_tolerance.value()),
-        seed=seed,
         skip_logdet_forward=bool(settings.skip_logdet_forward.on()),
     )
     n = linop.shape[-1]
@@ -71,7 +86,7 @@ def inv_quad_logdet_mbcg(
         rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]
     else:
         rhs = jnp.zeros(linop.batch_shape + (n, 1), dtype=linop.dtype)
-    iq, ld = _mbcg_iq_logdet(cfg, linop, rhs)
+    iq, ld = _mbcg_iq_logdet(cfg, linop, rhs, _resolve_probe_key(key))
     if has_rhs and inv_quad_rhs.ndim == 1 and not reduce_inv_quad:
         iq = iq[..., 0]
     return (iq if has_rhs else None), (ld if logdet else None)
@@ -84,7 +99,7 @@ def _build_preconditioner(linop):
     return linop_d._preconditioner()
 
 
-def _mbcg_forward(cfg: _IQConfig, linop, rhs):
+def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
     n = linop.shape[-1]
     batch = linop.batch_shape
     dt = rhs.dtype
@@ -95,7 +110,6 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs):
     probes = None
     norms = None
     if cfg.logdet:
-        key = jax.random.PRNGKey(cfg.seed)
         if P_op is not None:
             z = P_op.zero_mean_mvn_samples(key, cfg.num_probes)  # (t, *batch, n)
             z = jnp.moveaxis(z, 0, -1)  # (*batch, n, t)
@@ -145,22 +159,22 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs):
             ld = n * jnp.mean(slq, axis=-1)
             if logdet_P is not None:
                 ld = ld + logdet_P.astype(dt)
-    residuals = (linop, rhs, s_rhs, probes, norms, s_probe, Pinv_probes)
+    residuals = (linop, rhs, key, s_rhs, probes, norms, s_probe, Pinv_probes)
     return (iq, ld), residuals
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _mbcg_iq_logdet(cfg: _IQConfig, linop, rhs):
-    out, _ = _mbcg_forward(cfg, linop, rhs)
+def _mbcg_iq_logdet(cfg: _IQConfig, linop, rhs, key):
+    out, _ = _mbcg_forward(cfg, linop, rhs, key)
     return out
 
 
-def _mbcg_fwd(cfg, linop, rhs):
-    return _mbcg_forward(cfg, linop, rhs)
+def _mbcg_fwd(cfg, linop, rhs, key):
+    return _mbcg_forward(cfg, linop, rhs, key)
 
 
 def _mbcg_bwd(cfg, residuals, g):
-    linop, rhs, s_rhs, probes, norms, s_probe, Pinv_probes = residuals
+    linop, rhs, key, s_rhs, probes, norms, s_probe, Pinv_probes = residuals
     g_iq, g_ld = g
 
     def scalar_fn(lo):
@@ -191,7 +205,11 @@ def _mbcg_bwd(cfg, residuals, g):
             rhs_bar = 2.0 * s_rhs * g_iq[..., None, :]
     else:
         rhs_bar = jnp.zeros_like(rhs)
-    return linop_bar, rhs_bar
+    # PRNG keys carry no gradient: their cotangent type is float0.
+    import numpy as np
+
+    key_bar = np.zeros(np.shape(key), dtype=jax.dtypes.float0)
+    return linop_bar, rhs_bar, key_bar
 
 
 _mbcg_iq_logdet.defvjp(_mbcg_fwd, _mbcg_bwd)
