@@ -170,9 +170,15 @@ class Module(DictPyTree):
         parts = dotted.split(".")
         module: Module = self
         for part in parts[:-1]:
-            d = object.__getattribute__(module, "__dict__")
             if part.isdigit():
-                raise KeyError(f"Cannot resolve list index in path {dotted!r}")
+                # list/tuple child containers (e.g. AdditiveKernel.kernels.0)
+                module = module[int(part)] if not isinstance(module, Module) else None
+                if module is None:
+                    raise KeyError(f"Cannot resolve list index in path {dotted!r}")
+                continue
+            d = object.__getattribute__(module, "__dict__") if isinstance(module, Module) else None
+            if d is None:
+                raise KeyError(f"Cannot resolve path {dotted!r}")
             module = d[part]
         return module, parts[-1]
 

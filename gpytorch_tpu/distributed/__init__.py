@@ -6,5 +6,19 @@ from .mbcg import (
     sharded_exact_gp_mll,
     sharded_posterior_mean,
 )
+from .sharded import (
+    ShardedKernel,
+    ShardedKernelLinearOperator,
+    make_sharded_mll,
+    sharded_posterior,
+)
 
-__all__ = ["ShardedMBCGConfig", "sharded_exact_gp_mll", "sharded_posterior_mean"]
+__all__ = [
+    "ShardedKernel",
+    "ShardedKernelLinearOperator",
+    "ShardedMBCGConfig",
+    "make_sharded_mll",
+    "sharded_exact_gp_mll",
+    "sharded_posterior",
+    "sharded_posterior_mean",
+]

@@ -1,0 +1,256 @@
+"""ShardedKernelLinearOperator — the general row-sharded operator (SURVEY §7.10).
+
+TPU-native replacement for the reference's ``MultiDeviceKernel``
+(gpytorch/kernels/multi_device_kernel.py:14-92, a torch ``DataParallel`` scatter/gather):
+the N training rows live sharded over a ``jax.sharding.Mesh`` axis and the whole GP
+objective runs per-device under ``shard_map``.  The operator composes with the full
+kernel/Module stack — ARD lengthscales, ScaleKernel/Matérn/additive compositions,
+multitask Kronecker structure — because its ``_matmul`` simply evaluates the *wrapped*
+kernel on (x_local, x_full) row blocks:
+
+  1. ``all_gather`` of the search-direction block over ICI (or a ``ppermute`` ring
+     exchange of x/v blocks when ``ring=True``, so no device ever holds full X — the
+     ring-attention analogue of SURVEY §5),
+  2. a local kernel matvec on this device's row block (Pallas-fused where the wrapped
+     kernel supports it, streamed otherwise),
+  3. ``psum`` reductions inside CG/mBCG (solvers/cg.py, solvers/inv_quad.py read
+     ``shard_axis_name`` off the operator),
+
+so every device follows an identical CG trajectory and the N×N kernel matrix never
+exists on any device.  Gradients flow through the same collectives (all_gather/ppermute
+transpose to reduce-scatter/reverse-permute), so ``jax.grad`` of a sharded MLL is exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import settings
+from ..distributions import MultivariateNormal
+from ..kernels import Kernel
+from ..linop import LinearOperator
+from ..solvers.cg import linear_cg
+
+
+class ShardedKernelLinearOperator(LinearOperator):
+    """K(X, X) with rows sharded over a mesh axis; lives inside ``shard_map``.
+
+    Logical shape is (N·o, N·o) where N = num_devices · n_local and o is the kernel's
+    outputs-per-input; physically this device only ever touches its (n_local·o, N·o)
+    row block.  ``local_diag`` holds an absorbed added diagonal (likelihood noise) for
+    this device's rows.
+    """
+
+    def __init__(self, kernel, x_local, axis_name: str, num_devices: int, ring: bool = False,
+                 local_diag=None, x_full=None):
+        self.kernel = kernel
+        self.x_local = jnp.asarray(x_local)
+        self.axis_name = str(axis_name)
+        self.num_devices = int(num_devices)
+        self.ring = bool(ring)
+        self.local_diag = local_diag
+        if not ring and x_full is None:
+            x_full = jax.lax.all_gather(self.x_local, self.axis_name, axis=0, tiled=True)
+        self.x_full = x_full  # None in ring mode
+
+    # -- shape / metadata ---------------------------------------------------------------
+    @property
+    def shard_axis_name(self):
+        return self.axis_name
+
+    def _shape(self):
+        o = self.kernel.num_outputs_per_input(self.x_local, self.x_local)
+        n = self.num_devices * self.x_local.shape[-2] * o
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.x_local.dtype
+
+    # -- matmul ---------------------------------------------------------------------------
+    def _matmul(self, v_local):
+        if self.ring:
+            out = self._ring_matmul(v_local)
+        else:
+            v_full = jax.lax.all_gather(v_local, self.axis_name, axis=v_local.ndim - 2, tiled=True)
+            out = self.kernel(self.x_local, self.x_full)._matmul(v_full)
+        if self.local_diag is not None:
+            out = out + self.local_diag[..., :, None] * v_local
+        return out
+
+    def _ring_matmul(self, v_local):
+        """K·v without materializing x_full: rotate (x, v) blocks around the ring, each
+        step computing this device's rows against one visiting column block."""
+        nd = self.num_devices
+        perm = [(i, (i + 1) % nd) for i in range(nd)]
+        # peel the first (local) block so the loop carry is device-varying from the start
+        acc0 = self.kernel(self.x_local, self.x_local)._matmul(v_local)
+        xb0 = jax.lax.ppermute(self.x_local, self.axis_name, perm)
+        vb0 = jax.lax.ppermute(v_local, self.axis_name, perm)
+
+        def body(_, carry):
+            xb, vb, acc = carry
+            acc = acc + self.kernel(self.x_local, xb)._matmul(vb)
+            xb = jax.lax.ppermute(xb, self.axis_name, perm)
+            vb = jax.lax.ppermute(vb, self.axis_name, perm)
+            return (xb, vb, acc)
+
+        _, _, acc = jax.lax.fori_loop(0, nd - 1, body, (xb0, vb0, acc0))
+        return acc
+
+    # -- structure hooks --------------------------------------------------------------------
+    def evaluate_kernel(self):
+        return self
+
+    def _diagonal(self):
+        """Diagonal of this device's rows only (local view)."""
+        d = self.kernel(self.x_local, self.x_local, diag=True)
+        if self.local_diag is not None:
+            d = d + self.local_diag
+        return d
+
+    def add_diagonal(self, diag):
+        o = self.kernel.num_outputs_per_input(self.x_local, self.x_local)
+        n_local = self.x_local.shape[-2] * o
+        diag = jnp.broadcast_to(jnp.asarray(diag, dtype=self.dtype), (n_local,))
+        new_diag = diag if self.local_diag is None else self.local_diag + diag
+        return ShardedKernelLinearOperator(
+            self.kernel, self.x_local, self.axis_name, self.num_devices, self.ring,
+            local_diag=new_diag, x_full=self.x_full,
+        )
+
+    def to_dense(self):
+        """This device's dense row block (n_local·o, N·o) — local view, for debugging."""
+        dense = self.kernel(self.x_local, self.x_full if self.x_full is not None else self.x_local).to_dense()
+        if self.local_diag is not None:
+            n_local = dense.shape[-2]
+            offset = jax.lax.axis_index(self.axis_name) * n_local
+            cols = jnp.arange(n_local) + offset
+            rows = jnp.arange(n_local)
+            dense = dense.at[..., rows, cols].add(self.local_diag)
+        return dense
+
+
+class ShardedKernel(Kernel):
+    """Kernel wrapper: ``covar_module = ShardedKernel(base, num_devices=8)`` makes any
+    model's training covariance a row-sharded collective operator when the model runs
+    under ``shard_map`` (see ``make_sharded_mll``).
+
+    Reference analogue: ``MultiDeviceKernel(base_kernel, device_ids)``
+    (gpytorch/kernels/multi_device_kernel.py:14).  Cross-covariances (x1 ≠ x2, used in
+    prediction) and diagonals delegate to the wrapped kernel unsharded.
+    """
+
+    def __init__(self, base_kernel, num_devices: int, axis_name: str = "data", ring: bool = False):
+        super().__init__()
+        self.base_kernel = base_kernel
+        self.axis_name = str(axis_name)
+        self.num_devices = int(num_devices)
+        self.ring = bool(ring)
+
+    def forward(self, x1, x2, diag: bool = False, **params):
+        return self.base_kernel.forward(x1, x2, diag=diag, **params)
+
+    def __call__(self, x1, x2=None, diag: bool = False, **params):
+        if diag or x2 is not None:
+            return self.base_kernel(x1, x2, diag=diag, **params)
+        x1 = jnp.asarray(x1)
+        if x1.ndim == 1:
+            x1 = x1[:, None]
+        return ShardedKernelLinearOperator(
+            self.base_kernel, x1, self.axis_name, self.num_devices, self.ring
+        )
+
+    def num_outputs_per_input(self, x1, x2):
+        return self.base_kernel.num_outputs_per_input(x1, x2)
+
+
+def make_sharded_mll(mesh: Mesh, model, mll_cls=None, axis_name: str = "data"):
+    """Build ``mll_value(params, x, y, key) -> scalar`` with rows sharded over ``mesh``.
+
+    ``model`` is any ExactGP whose ``covar_module`` is a ``ShardedKernel``; the returned
+    function is jit/grad-compatible and runs the full mBCG+SLQ objective per-device with
+    psum'd reductions (exact distributed gradients via the BBMM custom VJP).
+    """
+    if mll_cls is None:
+        from ..mlls import ExactMarginalLogLikelihood
+
+        mll_cls = ExactMarginalLogLikelihood
+
+    def body(params, x_local, y_local, key):
+        m = model.with_params(params)
+        m.set_train_data(x_local, y_local, strict=False)
+        output = m(x_local)
+        mll = mll_cls(m.likelihood, m)
+        return mll(output, y_local, key=key)
+
+    def mll_value(params, x, y, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        y_spec = P(axis_name) if y.ndim == 1 else P(axis_name, None)
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(param_specs, P(axis_name, None), y_spec, P()),
+            out_specs=P(),
+        )
+        return fn(params, x, y, key)
+
+    return mll_value
+
+
+def sharded_posterior(mesh: Mesh, model, x, y, test_x, axis_name: str = "data"):
+    """Exact-GP posterior (mean, covariance) at ``test_x`` with the train solve sharded.
+
+    mean  = K_tx (K+σ²I)⁻¹ (y−μ) + μ(t)   — CG solve row-sharded, psum'd projection
+    covar = K_tt − K_tx (K+σ²I)⁻¹ K_xt     — same sharded solve, n_test RHS columns
+
+    Returns a dense MultivariateNormal (n_test is small by assumption).
+    """
+    covar_module = model.covar_module
+    inner = covar_module.base_kernel if isinstance(covar_module, ShardedKernel) else covar_module
+
+    def body(x_local, y_local, t_rep):
+        mean_x = model.mean_module(x_local)
+        K = covar_module(x_local)
+        if not isinstance(K, ShardedKernelLinearOperator):
+            raise RuntimeError("sharded_posterior requires a ShardedKernel covar_module")
+        marginal = model.likelihood(MultivariateNormal(mean_x, K))
+        A = marginal.lazy_covariance_matrix
+
+        Kxt = inner(x_local, t_rep).to_dense()  # (n_local, m)
+        diff = (y_local - mean_x)[..., :, None]
+        rhs = jnp.concatenate([diff, Kxt], axis=-1)
+        result = linear_cg(
+            lambda v: A._matmul(v),
+            rhs,
+            tolerance=float(settings.eval_cg_tolerance.value()),
+            axis_name=axis_name,
+            global_n=A.shape[-1],
+        )
+        sol = result.solution
+        KtxT = jnp.swapaxes(Kxt, -1, -2)
+        mean_t = jax.lax.psum(KtxT @ sol[..., :, 0], axis_name) + model.mean_module(t_rep)
+        Ktt = inner(t_rep, t_rep).to_dense()
+        covar_t = Ktt - jax.lax.psum(KtxT @ sol[..., :, 1:], axis_name)
+        return mean_t, covar_t
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name), P()),
+        out_specs=(P(), P()),
+    )
+    mean, covar = fn(x, y, jnp.asarray(test_x))
+    return MultivariateNormal(mean, covar)

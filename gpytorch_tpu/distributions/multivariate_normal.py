@@ -83,7 +83,10 @@ class MultivariateNormal(Distribution):
             target = jnp.broadcast_shapes(diff.shape[:-1], self.batch_shape)
             diff = jnp.broadcast_to(diff, target + diff.shape[-1:])
         inv_quad, logdet = covar.inv_quad_logdet(inv_quad_rhs=diff[..., None], logdet=True, key=key)
-        n = self.event_shape[0]
+        # Use the covariance's (global) size rather than the local event shape: under a
+        # row-sharded operator the loc holds only this device's block while the operator
+        # reports the global N (distributed/sharded.py).
+        n = covar.shape[-1]
         return -0.5 * (inv_quad + logdet + n * math.log(2 * math.pi))
 
     def _log_prob_cholesky(self, value):

@@ -222,7 +222,13 @@ class LinearOperator(DictPyTree):
         """Return (apply_fn, precond_root_linop, precond_logdet) or (None, None, None)."""
         return None, None, None
 
+    #: Mesh-axis name when this operator's rows are sharded over a device mesh (set by
+    #: distributed.ShardedKernelLinearOperator); None for single-device operators.
+    shard_axis_name = None
+
     def _use_cholesky(self) -> bool:
+        if self.shard_axis_name is not None:
+            return False  # sharded operators only exist as collective matvecs
         n = self.shape[-1]
         return (
             n <= settings.max_cholesky_size.value()

@@ -13,7 +13,11 @@ from .marginal_log_likelihood import MarginalLogLikelihood
 
 class ExactMarginalLogLikelihood(MarginalLogLikelihood):
     def __init__(self, likelihood, model):
-        if not isinstance(likelihood, _GaussianLikelihoodBase):
+        from ..likelihoods.multitask_gaussian_likelihood import MultitaskGaussianLikelihood
+
+        # reference: multitask Gaussian likelihoods subclass _GaussianLikelihoodBase
+        # (gpytorch/likelihoods/multitask_gaussian_likelihood.py:162)
+        if not isinstance(likelihood, (_GaussianLikelihoodBase, MultitaskGaussianLikelihood)):
             raise RuntimeError("Likelihood must be Gaussian for exact inference")
         super().__init__(likelihood, model)
 
@@ -60,7 +64,7 @@ class ExactMarginalLogLikelihood(MarginalLogLikelihood):
         else:
             raise ValueError(f"unknown observation_nan_policy {nan_policy!r}")
         res = self._add_other_terms(res, params)
-        num_data = 1
-        for s in function_dist.event_shape:
-            num_data *= s
+        # num_data from the covariance's (global) size — equals the event-shape product for
+        # single-device models, and the global N·t when rows are sharded over a mesh.
+        num_data = function_dist.lazy_covariance_matrix.shape[-1]
         return res / num_data

@@ -105,19 +105,30 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
     dt = rhs.dtype
     t_rhs = rhs.shape[-1] if cfg.has_rhs else 0
 
+    # Row-sharded operators (distributed/sharded.py) run this whole routine per-device under
+    # shard_map: local row blocks, psum'd reductions, identical CG trajectories everywhere.
+    axis = getattr(linop, "shard_axis_name", None)
+
+    def _rowsum(x):
+        s = jnp.sum(x, axis=-2)
+        return jax.lax.psum(s, axis) if axis is not None else s
+
     apply_P, P_op, logdet_P = _build_preconditioner(linop)
 
     probes = None
     norms = None
     if cfg.logdet:
+        if axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        n_rows = rhs.shape[-2]  # local row count when sharded
         if P_op is not None:
             z = P_op.zero_mean_mvn_samples(key, cfg.num_probes)  # (t, *batch, n)
             z = jnp.moveaxis(z, 0, -1)  # (*batch, n, t)
         else:
-            z = jax.random.normal(key, batch + (n, cfg.num_probes), dtype=dt)
+            z = jax.random.normal(key, batch + (n_rows, cfg.num_probes), dtype=dt)
         z = jax.lax.stop_gradient(z)
-        norms = jnp.linalg.norm(z, axis=-2, keepdims=True)  # (*batch, 1, t)
-        probes = z / jnp.maximum(norms, 1e-10)
+        norms = jnp.sqrt(jnp.maximum(_rowsum(z * z), 1e-20))[..., None, :]  # (*batch, 1, t)
+        probes = z / norms
         rhs_all = jnp.concatenate([rhs, probes], axis=-1) if cfg.has_rhs else probes
     else:
         rhs_all = rhs
@@ -130,6 +141,8 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
         max_iter=cfg.max_iter,
         tolerance=cfg.tolerance,
         n_tridiag_iter=n_tri,
+        axis_name=axis,
+        global_n=n,
     )
     solves = result.solution
 
@@ -137,7 +150,7 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
     s_rhs = None
     if cfg.has_rhs:
         s_rhs = solves[..., :t_rhs]
-        iq = jnp.sum(rhs * s_rhs, axis=-2)  # (*batch, t_rhs)
+        iq = _rowsum(rhs * s_rhs)  # (*batch, t_rhs)
         if cfg.reduce_inv_quad:
             iq = jnp.sum(iq, axis=-1)
 
@@ -176,13 +189,18 @@ def _mbcg_fwd(cfg, linop, rhs, key):
 def _mbcg_bwd(cfg, residuals, g):
     linop, rhs, key, s_rhs, probes, norms, s_probe, Pinv_probes = residuals
     g_iq, g_ld = g
+    axis = getattr(linop, "shard_axis_name", None)
+
+    def _rowsum(x):
+        s = jnp.sum(x, axis=-2)
+        return jax.lax.psum(s, axis) if axis is not None else s
 
     def scalar_fn(lo):
         total = jnp.zeros((), dtype=rhs.dtype)
         if cfg.has_rhs:
             s = jax.lax.stop_gradient(s_rhs)
             Ks = lo._matmul(s)
-            quad = jnp.sum(s * Ks, axis=-2)  # (*batch, t)
+            quad = _rowsum(s * Ks)  # (*batch, t)
             if cfg.reduce_inv_quad:
                 quad = jnp.sum(quad, axis=-1)  # (*batch,)
             total = total - jnp.sum(g_iq * quad)
@@ -190,7 +208,7 @@ def _mbcg_bwd(cfg, residuals, g):
             sp = jax.lax.stop_gradient(s_probe)
             pz = jax.lax.stop_gradient(Pinv_probes)
             Kpz = lo._matmul(pz)
-            est = jnp.sum(sp * Kpz, axis=-2)  # (*batch, t)
+            est = _rowsum(sp * Kpz)  # (*batch, t)
             est = jnp.mean(jax.lax.stop_gradient(norms[..., 0, :]) ** 2 * est, axis=-1)  # (*batch,)
             total = total + jnp.sum(g_ld * est)
         return total

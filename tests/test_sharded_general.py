@@ -1,0 +1,176 @@
+"""General ShardedKernel / ShardedKernelLinearOperator: the full kernel/Module stack
+(ARD, ScaleKernel, additive compositions, multitask Kronecker) row-sharded over an
+8-device CPU mesh, validated against the single-device dense path (SURVEY §7.10;
+reference analogue: gpytorch/kernels/multi_device_kernel.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.distributed import ShardedKernel, make_sharded_mll, sharded_posterior
+from gpytorch_tpu.distributions import MultitaskMultivariateNormal, MultivariateNormal
+from gpytorch_tpu.kernels import MaternKernel, MultitaskKernel, RBFKernel, ScaleKernel
+from gpytorch_tpu.likelihoods import GaussianLikelihood, MultitaskGaussianLikelihood
+from gpytorch_tpu.means import ConstantMean, MultitaskMean
+from gpytorch_tpu.mlls import ExactMarginalLogLikelihood
+from gpytorch_tpu.models import ExactGP
+
+
+def _mesh():
+    devs = np.array(jax.devices())
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+    return Mesh(devs, ("data",))
+
+
+N, D = 256, 3
+
+
+def _data(key=0):
+    k = jax.random.PRNGKey(key)
+    x = jax.random.normal(k, (N, D))
+    y = jnp.sin(2 * x[:, 0]) + 0.3 * x[:, 1] + 0.05 * jax.random.normal(jax.random.PRNGKey(key + 1), (N,))
+    return x, y
+
+
+class _ARDModel(ExactGP):
+    """ScaleKernel(RBF-ARD) + Matern — a composition the old hardcoded path couldn't shard."""
+
+    def __init__(self, tx, ty, lik, covar):
+        super().__init__(tx, ty, lik)
+        self.mean_module = ConstantMean()
+        self.covar_module = covar
+
+    def forward(self, x):
+        return MultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+
+def _base_kernel():
+    k = ScaleKernel(RBFKernel(ard_num_dims=D)) + MaternKernel(nu=1.5)
+    return k
+
+
+def _init_params(model):
+    params = model.trainable_params()
+    # non-trivial ARD lengthscales so the test exercises per-dim gradients
+    for name in params:
+        if "raw_lengthscale" in name:
+            params[name] = params[name] + jnp.linspace(-0.3, 0.5, params[name].shape[-1])
+    return params
+
+
+_SOLVER = dict(num_probes=64, tridiag=50, cg_iters=300, tol=1e-8)
+
+
+def _solver_ctx():
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    stack.enter_context(gp.settings.num_trace_samples(_SOLVER["num_probes"]))
+    stack.enter_context(gp.settings.max_lanczos_quadrature_iterations(_SOLVER["tridiag"]))
+    stack.enter_context(gp.settings.max_cg_iterations(_SOLVER["cg_iters"]))
+    stack.enter_context(gp.settings.cg_tolerance(_SOLVER["tol"]))
+    stack.enter_context(gp.settings.min_preconditioning_size(10**9))
+    return stack
+
+
+def _unwrap_names(params):
+    """Map sharded-model param names onto the dense model (drop the ShardedKernel level)."""
+    return {k.replace("covar_module.base_kernel.", "covar_module."): v for k, v in params.items()}
+
+
+def _dense_mll_fn(model, x, y):
+    def fn(params):
+        m = model.with_params(_unwrap_names(params))
+        with gp.settings.max_cholesky_size(10**6):
+            return ExactMarginalLogLikelihood(m.likelihood, m)(m(x), y)
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def ard_setup():
+    mesh = _mesh()
+    x, y = _data()
+    model = _ARDModel(x, y, GaussianLikelihood(), ShardedKernel(_base_kernel(), num_devices=8))
+    dense_model = _ARDModel(x, y, GaussianLikelihood(), _base_kernel())
+    params = _init_params(model)
+    return mesh, x, y, model, dense_model, params
+
+
+def test_sharded_ard_mll_matches_dense(ard_setup):
+    mesh, x, y, model, dense_model, params = ard_setup
+    with _solver_ctx():
+        sharded = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
+    dense = _dense_mll_fn(dense_model, x, y)(params)
+    assert abs(float(sharded) - float(dense)) / abs(float(dense)) < 0.05, (float(sharded), float(dense))
+
+
+def test_sharded_ard_gradients_match_dense(ard_setup):
+    mesh, x, y, model, dense_model, params = ard_setup
+    with _solver_ctx():
+        mll_fn = make_sharded_mll(mesh, model)
+        g_sharded = jax.grad(lambda p: -mll_fn(p, x, y, key=jax.random.PRNGKey(0)))(params)
+    g_dense = jax.grad(lambda p: -_dense_mll_fn(dense_model, x, y)(p))(params)
+    for name in g_dense:
+        np.testing.assert_allclose(
+            np.asarray(g_sharded[name]), np.asarray(g_dense[name]), rtol=0.2, atol=0.03,
+            err_msg=f"sharded grad mismatch for {name}",
+        )
+
+
+def test_sharded_posterior_matches_dense(ard_setup):
+    mesh, x, y, model, dense_model, params = ard_setup
+    test_x = jax.random.normal(jax.random.PRNGKey(9), (12, D))
+    m = model.with_params(params)
+    with _solver_ctx(), gp.settings.eval_cg_tolerance(1e-10):
+        post = sharded_posterior(mesh, m, x, y, test_x)
+
+    dm = dense_model.with_params(_unwrap_names(params)).eval()
+    with gp.settings.max_cholesky_size(10**6):
+        dense_post = dm(test_x)
+    np.testing.assert_allclose(np.asarray(post.mean), np.asarray(dense_post.mean), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(post.covariance_matrix), np.asarray(dense_post.covariance_matrix), atol=5e-3
+    )
+
+
+def test_ring_exchange_matches_all_gather(ard_setup):
+    mesh, x, y, model, dense_model, params = ard_setup
+    ring_model = _ARDModel(
+        x, y, GaussianLikelihood(), ShardedKernel(_base_kernel(), num_devices=8, ring=True)
+    )
+    with _solver_ctx():
+        ring = make_sharded_mll(mesh, ring_model)(params, x, y, key=jax.random.PRNGKey(0))
+        gathered = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
+    # identical probes/trajectory; only the block-summation order differs
+    np.testing.assert_allclose(float(ring), float(gathered), rtol=1e-5)
+
+
+class _MTModel(ExactGP):
+    def __init__(self, tx, ty, lik, covar):
+        super().__init__(tx, ty, lik)
+        self.mean_module = MultitaskMean(ConstantMean(), num_tasks=2)
+        self.covar_module = covar
+
+    def forward(self, x):
+        return MultitaskMultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+
+def test_sharded_multitask_mll_matches_dense():
+    mesh = _mesh()
+    x, _ = _data(4)
+    y = jnp.stack(
+        [jnp.sin(2 * x[:, 0]), jnp.cos(x[:, 1])], axis=-1
+    ) + 0.05 * jax.random.normal(jax.random.PRNGKey(5), (N, 2))
+    mt_kernel = lambda: MultitaskKernel(RBFKernel(ard_num_dims=D), num_tasks=2, rank=1)
+    lik = lambda: MultitaskGaussianLikelihood(num_tasks=2, has_task_noise=False)
+    model = _MTModel(x, y, lik(), ShardedKernel(mt_kernel(), num_devices=8))
+    dense_model = _MTModel(x, y, lik(), mt_kernel())
+    params = _init_params(model)
+    with _solver_ctx():
+        sharded = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
+    dense = _dense_mll_fn(dense_model, x, y)(params)
+    assert abs(float(sharded) - float(dense)) / abs(float(dense)) < 0.05, (float(sharded), float(dense))
