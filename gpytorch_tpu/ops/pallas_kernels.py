@@ -83,36 +83,68 @@ def _round_up(x, m):
 # forward: out[i] = Σ_j k(‖x1_i − x2_j‖²) v_j
 # ----------------------------------------------------------------------------------------
 
+# For d <= _DIRECT_D_MAX the pairwise sq-dist tile is computed directly on the VPU as
+# Σ_k (a_k − b_k)²: with a tiny inner dimension the quadratic-expansion matmul wastes the
+# MXU (K=8 of a 128-wide systolic array at HIGHEST precision) and suffers catastrophic
+# cancellation; the direct form is both faster and exact.
+_DIRECT_D_MAX = 8
+
+
+def _d2_tile(a, bt_or_b, d: int, direct: bool):
+    """Pairwise squared distances for one (BN, BM) tile.
+
+    direct: a (BN, Dp), bt (Dp, BM) → VPU broadcast differences.
+    else:   a (BN, Dp), b (BM, Dp)  → mean-free quadratic expansion on the MXU (HIGHEST).
+    """
+    if direct:
+        bt = bt_or_b
+        d2 = None
+        for k in range(d):
+            diff = a[:, k : k + 1] - bt[k : k + 1, :]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        return d2
+    b = bt_or_b
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1)[None, :]
+    ab = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
+
+
 def _matvec_pallas(x1, x2, v, kernel_type: int):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+
+    from .. import settings
 
     n, d = x1.shape
     m, t = v.shape[0], v.shape[1]
     Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
+    direct = d <= _DIRECT_D_MAX
+    bf16 = bool(settings.kernel_matvec_bf16.on())
     x1p = _pad_to(_pad_to(x1, Np, 0), Dp, 1)
     x2p = _pad_to(_pad_to(x2, Mp, 0), Dp, 1)
+    x2arg = jnp.swapaxes(x2p, 0, 1) if direct else x2p  # (Dp, Mp) for the VPU path
     vp = _pad_to(_pad_to(v, Mp, 0), Tp, 1)
     nj = Mp // _BM
 
     def kernel(x1_ref, x2_ref, v_ref, o_ref):
         j = pl.program_id(1)
-        a = x1_ref[:]
-        b = x2_ref[:]
-        a2 = jnp.sum(a * a, axis=-1, keepdims=True)
-        b2 = jnp.sum(b * b, axis=-1)[None, :]
-        ab = jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        d2 = jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
-        kv = _kernel_fn(d2, kernel_type).astype(v_ref.dtype)
-        # K@V at default (one-pass) MXU precision: kernel values are in [0,1] and CG's
-        # residual-based stopping absorbs the ~1e-3 rounding; the distance matmul above
-        # stays HIGHEST (catastrophic cancellation otherwise).
-        pv = jnp.dot(kv, v_ref[:], preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        d2 = _d2_tile(x1_ref[:], x2_ref[:], d, direct)
+        kv = _kernel_fn(d2, kernel_type)
+        vv = v_ref[:]
+        if bf16:
+            # bf16 K·V tile: kernel values are in [0,1]; per-element rounding (~2⁻⁹ rel)
+            # is independent across the reduction, and the f32 accumulator keeps the sum
+            # exact — CG's residual recurrences absorb the noise.  2× MXU throughput.
+            kv = kv.astype(jnp.bfloat16)
+            vv = vv.astype(jnp.bfloat16)
+        else:
+            kv = kv.astype(vv.dtype)
+        pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
         @pl.when(j == 0)
         def _():
@@ -122,17 +154,20 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
         def _():
             o_ref[:] = o_ref[:] + pv
 
+    x2_spec = (
+        pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)) if direct else pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0))
+    )
     out = pl.pallas_call(
         kernel,
         grid=(Np // _BN, nj),
         in_specs=[
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            x2_spec,
             pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
-    )(x1p, x2p, vp)
+    )(x1p, x2arg, vp)
     return out[:n, :t]
 
 
@@ -151,23 +186,19 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
     Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
+    direct = d <= _DIRECT_D_MAX
     x1p = _pad_to(_pad_to(x1, Np, 0), Dp, 1)
     x2p = _pad_to(_pad_to(x2, Mp, 0), Dp, 1)
+    x2tp = jnp.swapaxes(x2p, 0, 1)  # (Dp, Mp) for the VPU distance path
     gp = _pad_to(_pad_to(g, Np, 0), Tp, 1)
     vp = _pad_to(_pad_to(v, Mp, 0), Tp, 1)
     nj = Mp // _BM
 
-    def kernel(x1_ref, x2_ref, g_ref, v_ref, dx1_ref):
+    def kernel(x1_ref, x2_ref, x2t_ref, g_ref, v_ref, dx1_ref):
         j = pl.program_id(1)
         a = x1_ref[:]
         b = x2_ref[:]
-        a2 = jnp.sum(a * a, axis=-1, keepdims=True)
-        b2 = jnp.sum(b * b, axis=-1)[None, :]
-        ab = jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        d2 = jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
+        d2 = _d2_tile(a, x2t_ref[:] if direct else b, d, direct)
         kp = _kernel_prime(d2, kernel_type)
         gv = jax.lax.dot_general(
             g_ref[:], v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -191,12 +222,13 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
         in_specs=[
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
             pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)),
             pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
             pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Dp), x1.dtype),
-    )(x1p, x2p, gp, vp)
+    )(x1p, x2p, x2tp, gp, vp)
     return out[:n, :d]
 
 

@@ -352,6 +352,16 @@ class use_pallas(_feature_flag):
     _default = True
 
 
+class kernel_matvec_bf16(_feature_flag):
+    """Compute the K·V tile of the fused Pallas matvec in bfloat16 (f32 accumulation).
+
+    2× MXU throughput on the CG hot loop; per-element rounding (~2⁻⁹ relative on kernel
+    values in [0,1]) is absorbed by CG's residual recurrences.  Opt-in for training; leave
+    off for tight-tolerance posterior evaluation.  No reference equivalent (TPU-specific;
+    closest knob is settings.linalg_dtypes / fast_computations)."""
+    _default = False
+
+
 # alias for API parity with the reference
 use_keops = use_pallas
 
