@@ -1,12 +1,22 @@
-"""Contour-integral quadrature (CIQ): K^{±1/2} v via shifted minres.
+"""Contour-integral quadrature (CIQ): K^{±1/2} v via multi-shift CG.
 
 Reference: linear_operator ``contour_integral_quad`` / ``sqrt_inv_matmul``
 (gpytorch/__init__.py:252; used by CiqVariationalStrategy,
 gpytorch/variational/ciq_variational_strategy.py:128; paper arXiv 2006.11267).
 
-Method: K^{-1/2} b = (2 K / (π N)) Σ_j w_j (K + t_j I)⁻¹ b with quadrature nodes from
-Jacobi elliptic functions (Hale, Higham & Trefethen 2008).  The N shifted solves share one
-Krylov space via multi-shift CG — each iteration is still a single K·v matvec.
+Method (Hale, Higham & Trefethen 2008):
+  K^{-1/2} b ≈ Σ_j w_j (K + t_j I)⁻¹ b
+with shifts/weights from Jacobi elliptic functions on [λ_min, λ_max].  All q shifted
+systems share one Krylov space — each multi-shift-CG iteration costs a single K·v matvec
+(Jegerlehner 1996 recurrences).
+
+TPU design notes:
+  * the elliptic node computation is implemented IN JAX (AGM for the complete integral,
+    fixed-iteration descending Landen for sn/cn/dn), so the quadrature adapts to the
+    (Lanczos-estimated, stop-gradient) spectrum even inside jit — no host scipy round-trip
+    and no conservative-range fallback;
+  * the shifted-CG loop is a fixed-trip ``fori_loop`` (reverse-differentiable; the CIQ
+    variational strategy takes gradients through it).
 """
 
 from __future__ import annotations
@@ -15,83 +25,137 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import settings
 from .lanczos import lanczos_tridiag
 
+_AGM_ITERS = 30
 
-def _elliptic_nodes(min_eig: float, max_eig: float, num_quad: int):
-    """Quadrature shifts/weights for f(K)=K^{-1/2} on [min_eig, max_eig] (host-side numpy —
-    the node computation uses special functions on scalars and compiles to constants)."""
-    from scipy import special  # available via jax's scipy dependency
 
-    k2 = min_eig / max_eig
-    Kp = special.ellipk(1 - k2)
-    t = 1j * (np.arange(1, num_quad + 1) - 0.5) * Kp / num_quad
-    sn, cn, dn, _ = special.ellipj(np.imag(t), 1 - k2)
-    cn = 1.0 / cn
-    dn = dn * cn
-    sn = 1j * sn * cn
-    w = np.sqrt(min_eig) * sn
-    dzdt = cn * dn
-    shifts = np.real(-(w**2))
-    weights = np.real(2 * Kp * np.sqrt(min_eig) / (np.pi * num_quad) * dzdt)
-    return jnp.asarray(shifts), jnp.asarray(weights)
+def _ellipk_agm(m):
+    """Complete elliptic integral K(m) via the arithmetic-geometric mean."""
+    a = jnp.ones_like(m)
+    b = jnp.sqrt(jnp.maximum(1.0 - m, 1e-300))
+    for _ in range(_AGM_ITERS):
+        a, b = 0.5 * (a + b), jnp.sqrt(a * b)
+    return jnp.pi / (2.0 * a)
+
+
+def _ellipj_im(u, m):
+    """Jacobi elliptic sn/cn/dn at a purely *imaginary* argument iu, parameter m.
+
+    Uses the Jacobi imaginary transformation: with m1 = 1−m and s = sn(u|m1),
+    c = cn(u|m1), d = dn(u|m1) (all real, computed by descending Landen):
+      sn(iu|m) = i s/c,  cn(iu|m) = 1/c,  dn(iu|m) = d/c.
+    Returns the real quantities (s/c, 1/c, d/c).
+    """
+    m1 = 1.0 - m
+    s, c, d = _ellipj_real(u, m1)
+    return s / c, 1.0 / c, d / c
+
+
+def _ellipj_real(u, m):
+    """sn/cn/dn(u|m) for real u via the descending-Landen / AGM algorithm
+    (Abramowitz & Stegun 16.4; fixed iteration count for jit)."""
+    eps = 1e-300
+    a = jnp.ones_like(u)
+    b = jnp.sqrt(jnp.maximum(1.0 - m, eps)) * jnp.ones_like(u)
+    a_list = []  # a_n, c_n for n = 1.._AGM_ITERS (post-update values)
+    c_list = []
+    for _ in range(_AGM_ITERS):
+        a, b, c = 0.5 * (a + b), jnp.sqrt(jnp.maximum(a * b, eps)), 0.5 * (a - b)
+        a_list.append(a)
+        c_list.append(c)
+    phi = (2.0**_AGM_ITERS) * a * u
+    for n in range(_AGM_ITERS - 1, -1, -1):  # n indexes a_{n+1}, c_{n+1}: loop N..1
+        ratio = jnp.clip(c_list[n] / jnp.maximum(a_list[n], eps), -1.0, 1.0)
+        phi = 0.5 * (phi + jnp.arcsin(ratio * jnp.sin(phi)))
+    sn = jnp.sin(phi)
+    cn = jnp.cos(phi)
+    dn = jnp.sqrt(jnp.maximum(1.0 - m * sn * sn, eps))
+    return sn, cn, dn
+
+
+def _elliptic_nodes(min_eig, max_eig, num_quad: int):
+    """Quadrature shifts/weights for f(K)=K^{-1/2} on [min_eig, max_eig] (HHT 2008 method 3,
+    matching linear_operator's contour_integral_quad).  Fully traced jnp math."""
+    min_eig = jnp.asarray(min_eig, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    max_eig = jnp.asarray(max_eig, dtype=min_eig.dtype)
+    k2 = jnp.clip(min_eig / max_eig, 1e-10, 1.0 - 1e-10)
+    Kp = _ellipk_agm(1.0 - k2)  # K'(k) = K(1−k²)
+    u = (jnp.arange(1, num_quad + 1, dtype=min_eig.dtype) - 0.5) * Kp / num_quad
+    # sn/cn/dn at the imaginary argument i·u with parameter k2
+    sn_i, cn_i, dn_i = _ellipj_im(u, k2)  # sn(iu|k2) = i·sn_i ; cn = cn_i ; dn = dn_i
+    # w = √(λ_min)·sn(iu) → purely imaginary: w² = −λ_min·sn_i² → shift t_j = λ_min·sn_i²
+    shifts = min_eig * sn_i * sn_i
+    # dz/dt = cn(iu)·dn(iu) (real); weight_j = (2 K' √λ_min)/(π q) · cn_i·dn_i
+    weights = (2.0 * Kp * jnp.sqrt(min_eig)) / (jnp.pi * num_quad) * (cn_i * dn_i)
+    return shifts, weights
 
 
 def _estimate_spectrum(linop) -> Tuple[jax.Array, jax.Array]:
-    """Cheap extremal-eigenvalue estimates via a few Lanczos iterations."""
+    """Cheap extremal-eigenvalue estimates via a few Lanczos iterations (stop-gradient:
+    the quadrature nodes tune the estimator, not the gradient identity)."""
     n = linop.shape[-1]
     k = min(10, n)
     init = jnp.ones(linop.batch_shape + (n,), dtype=linop.dtype)
-    _, T = lanczos_tridiag(lambda v: linop._matmul(v), init, k)
-    lam = jnp.linalg.eigvalsh(T)
-    return jnp.maximum(lam[..., 0], 1e-7), lam[..., -1] * 1.1
+    _, T = lanczos_tridiag(lambda v: jax.lax.stop_gradient(linop._matmul(v)), init, k)
+    lam = jnp.linalg.eigvalsh(jax.lax.stop_gradient(T))
+    min_e = jnp.min(jnp.maximum(lam[..., 0], 1e-7)) * 0.8
+    max_e = jnp.max(lam[..., -1]) * 1.2
+    return min_e, max_e
 
 
-def shifted_cg(matmul_fn, rhs, shifts, max_iter: int, tol: float = 1e-6):
-    """Multi-shift CG: solve (A + t_j I) x_j = rhs for all shifts simultaneously.
+def shifted_cg(matmul_fn, rhs, shifts, max_iter: int, tol: float = 1e-10):
+    """Multi-shift CG (Jegerlehner 1996): solve (A + t_j I) x_j = rhs for all shifts with
+    one matvec per iteration (shift-invariance of Krylov spaces).
 
-    Uses the shift-invariance of Krylov spaces: one matvec per iteration serves all shifts.
-    rhs: (..., n, t); shifts: (q,).  Returns (q, ..., n, t).
+    rhs: (..., n, t); shifts: (q,) ≥ 0.  Returns (q, ..., n, t).
     """
     q = shifts.shape[0]
-    x = jnp.zeros((q,) + rhs.shape, rhs.dtype)
-    # Run standard CG on the base system; track shifted recurrences
+    dt = rhs.dtype
+
+    x = jnp.zeros((q,) + rhs.shape, dt)
     r = rhs
     p = rhs
     p_s = jnp.broadcast_to(rhs, (q,) + rhs.shape)
-    rz = jnp.sum(r * r, axis=-2)
-    zeta_old = jnp.ones((q,) + rz.shape, rhs.dtype)
-    zeta = jnp.ones((q,) + rz.shape, rhs.dtype)
-    alpha_old = jnp.ones((q,) + rz.shape, rhs.dtype)
-    beta_old = jnp.zeros(rz.shape, rhs.dtype)
-    alpha_prev = jnp.ones(rz.shape, rhs.dtype)
+    rz = jnp.sum(r * r, axis=-2)  # (..., t)
+    zeta_prev = jnp.ones((q,) + rz.shape, dt)
+    zeta_cur = jnp.ones((q,) + rz.shape, dt)
+    alpha_prev = jnp.ones(rz.shape, dt)
+    beta_prev = jnp.zeros(rz.shape, dt)
+    sh = shifts.astype(dt).reshape((q,) + (1,) * rz.ndim)  # broadcasts against (q, ..., t)
+    eps = 1e-30
 
-    def body(k, state):
-        x, r, p, p_s, rz, zeta_old, zeta, alpha_old, beta_old, alpha_prev = state
+    def body(_, state):
+        x, r, p, p_s, rz, zeta_prev, zeta_cur, alpha_prev, beta_prev = state
         Ap = matmul_fn(p)
         pAp = jnp.sum(p * Ap, axis=-2)
-        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1.0, pAp)
-        alpha = jnp.where(rz < 1e-20, jnp.zeros_like(alpha), alpha)
-        # shifted coefficient updates (Jegerlehner 1996)
-        sh = shifts.reshape((q,) + (1,) * rz.ndim)
-        denom = zeta_old * alpha_prev + alpha * (beta_old * (zeta_old - zeta) + zeta_old * (1.0 + sh * alpha))
-        zeta_new = jnp.where(jnp.abs(denom) < 1e-30, zeta, zeta_old * zeta * alpha_prev / denom)
-        alpha_s = alpha * zeta_new / jnp.where(jnp.abs(zeta) < 1e-30, 1.0, zeta)
+        dead = rz < eps
+        alpha = jnp.where(dead, 0.0, rz / jnp.where(jnp.abs(pAp) < eps, 1.0, pAp))
+
+        # ζ_{k+1}^σ  (Jegerlehner eq. 2.44)
+        denom = (
+            alpha * beta_prev * (zeta_prev - zeta_cur)
+            + zeta_prev * alpha_prev * (1.0 + sh * alpha)
+        )
+        zeta_next = jnp.where(
+            jnp.abs(denom) < eps, zeta_cur, zeta_cur * zeta_prev * alpha_prev / jnp.where(jnp.abs(denom) < eps, 1.0, denom)
+        )
+        ratio = zeta_next / jnp.where(jnp.abs(zeta_cur) < eps, 1.0, zeta_cur)
+        alpha_s = alpha * ratio
         x = x + alpha_s[..., None, :] * p_s
+
         r_new = r - alpha[..., None, :] * Ap
         rz_new = jnp.sum(r_new * r_new, axis=-2)
-        beta = rz_new / jnp.where(rz < 1e-20, 1.0, rz)
-        beta = jnp.where(rz < 1e-20, jnp.zeros_like(beta), beta)
+        beta = jnp.where(dead, 0.0, rz_new / jnp.where(rz < eps, 1.0, rz))
         p_new = r_new + beta[..., None, :] * p
-        beta_s = beta * (zeta_new / jnp.where(jnp.abs(zeta) < 1e-30, 1.0, zeta)) ** 2
-        p_s_new = zeta_new[..., None, :] * r_new + beta_s[..., None, :] * p_s
-        return (x, r_new, p_new, p_s_new, rz_new, zeta, zeta_new, alpha_s, beta, alpha)
+        beta_s = beta * ratio * ratio
+        p_s_new = zeta_next[..., None, :] * r_new + beta_s[..., None, :] * p_s
+        return (x, r_new, p_new, p_s_new, rz_new, zeta_cur, zeta_next, alpha, beta)
 
-    state = (x, r, p, p_s, rz, zeta_old, zeta, alpha_old, beta_old, alpha_prev)
-    state = jax.lax.fori_loop(0, max_iter, body, state)
+    state = (x, r, p, p_s, rz, zeta_prev, zeta_cur, alpha_prev, beta_prev)
+    state = jax.lax.fori_loop(0, max_iter, body, state, unroll=False)
     return state[0]
 
 
@@ -100,11 +164,10 @@ def contour_integral_quad(linop, rhs, inverse: bool = True, num_quad: Optional[i
     if num_quad is None:
         num_quad = settings.num_contour_quadrature.value()
     min_eig, max_eig = _estimate_spectrum(linop)
-    # static bounds: use stop-gradient scalars folded at trace time where possible
-    min_e = float(jax.lax.stop_gradient(jnp.min(min_eig))) if not isinstance(min_eig, jax.core.Tracer) else 1e-4
-    max_e = float(jax.lax.stop_gradient(jnp.max(max_eig))) if not isinstance(max_eig, jax.core.Tracer) else 1e4
-    shifts, weights = _elliptic_nodes(max(min_e, 1e-7), max(max_e, 1e-5), int(num_quad))
-    max_iter = settings.max_minres_iterations.value()
+    shifts, weights = _elliptic_nodes(min_eig, max_eig, int(num_quad))
+    shifts = jax.lax.stop_gradient(shifts.astype(rhs.dtype))
+    weights = jax.lax.stop_gradient(weights.astype(rhs.dtype))
+    max_iter = int(settings.max_minres_iterations.value())
     solves = shifted_cg(lambda v: linop._matmul(v), rhs, shifts, max_iter=max_iter)
     w = weights.reshape((-1,) + (1,) * rhs.ndim)
     inv_sqrt = jnp.sum(w * solves, axis=0)  # ≈ K^{-1/2} rhs
