@@ -125,6 +125,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
     Tp = _round_up(t, _LANE)
     direct = d <= _DIRECT_D_MAX
     bf16 = bool(settings.kernel_matvec_bf16.on())
+    highest = bool(settings.kernel_matvec_highest.on()) and not bf16
     x1p = _pad_to(_pad_to(x1, Np, 0), Dp, 1)
     x2p = _pad_to(_pad_to(x2, Mp, 0), Dp, 1)
     x2arg = jnp.swapaxes(x2p, 0, 1) if direct else x2p  # (Dp, Mp) for the VPU path
@@ -144,7 +145,10 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
             vv = vv.astype(jnp.bfloat16)
         else:
             kv = kv.astype(vv.dtype)
-        pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        # TPU dots default to one-pass bf16 rounding (~5e-3 rel) — tight-tolerance eval
+        # paths opt into the 6-pass f32 product via settings.kernel_matvec_highest.
+        prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+        pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)
 
         @pl.when(j == 0)
         def _():

@@ -32,6 +32,10 @@ class NormalPrior(Prior):
     def mean(self):
         return self.loc
 
+    @property
+    def variance(self):
+        return self.scale**2
+
     def log_prob(self, x):
         return Normal(self.loc, self.scale).log_prob(x)
 

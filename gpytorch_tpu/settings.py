@@ -362,6 +362,16 @@ class kernel_matvec_bf16(_feature_flag):
     _default = False
 
 
+class kernel_matvec_highest(_feature_flag):
+    """Run the K·V tile of the fused Pallas matvec at Precision.HIGHEST (6-pass f32).
+
+    TPU matmuls default to one-pass bf16 rounding (~5e-3 relative); CG cannot converge
+    below that floor, so tight-tolerance *evaluation* paths (posterior means/variances to
+    1e-3, reference parity checks) should enable this.  ~3× slower matvec — eval only.
+    Ignored when kernel_matvec_bf16 is on."""
+    _default = False
+
+
 # alias for API parity with the reference
 use_keops = use_pallas
 

@@ -159,6 +159,59 @@ def shifted_cg(matmul_fn, rhs, shifts, max_iter: int, tol: float = 1e-10):
     return state[0]
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ciq_quad(linop, rhs, shifts_weights, max_iter: int):
+    """Σ_j w_j (K + t_j I)⁻¹ rhs with a quadrature-structured VJP.
+
+    Differentiating *through* the shifted-CG loop is numerically hazardous (the ζ
+    recurrences underflow over many iterations, NaN'ing the reverse pass); instead the
+    backward exploits d[(K+t)⁻¹] = −(K+t)⁻¹ dK (K+t)⁻¹ — one more multi-shift CG on the
+    cotangent (this mirrors linear_operator's contour_integral_quad autograd)."""
+    shifts, weights = shifts_weights
+    solves = shifted_cg(lambda v: linop._matmul(v), rhs, shifts, max_iter=max_iter)
+    w = weights.reshape((-1,) + (1,) * rhs.ndim)
+    return jnp.sum(w * solves, axis=0)
+
+
+def _ciq_quad_fwd(linop, rhs, shifts_weights, max_iter):
+    shifts, weights = shifts_weights
+    linop_d = jax.tree_util.tree_map(jax.lax.stop_gradient, linop)
+    solves = shifted_cg(lambda v: linop_d._matmul(v), rhs, shifts, max_iter=max_iter)
+    w = weights.reshape((-1,) + (1,) * rhs.ndim)
+    out = jnp.sum(w * solves, axis=0)
+    return out, (linop, rhs, shifts, weights, solves)
+
+
+def _ciq_quad_bwd(max_iter, res, g):
+    linop, rhs, shifts, weights, solves = res
+    linop_d = jax.tree_util.tree_map(jax.lax.stop_gradient, linop)
+    u = shifted_cg(lambda v: linop_d._matmul(v), g, shifts, max_iter=max_iter)  # (q, ..., n, t)
+    w = weights.reshape((-1,) + (1,) * rhs.ndim)
+    rhs_bar = jnp.sum(w * u, axis=0)
+
+    solves_sg = jax.lax.stop_gradient(solves)
+    u_sg = jax.lax.stop_gradient(u)
+
+    def scalar_fn(lo):
+        # −Σ_j w_j u_jᵀ dK s_j, delivered through the operator matmul VJP
+        Ks = lo._matmul(jnp.moveaxis(solves_sg, 0, -1).reshape(solves_sg.shape[1:-1] + (-1,)))
+        u_flat = jnp.moveaxis(u_sg * w, 0, -1).reshape(u_sg.shape[1:-1] + (-1,))
+        return -jnp.sum(u_flat * Ks)
+
+    _, vjp = jax.vjp(scalar_fn, linop)
+    (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
+    sw_bar = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x), (shifts, weights)
+    )
+    return linop_bar, rhs_bar, sw_bar
+
+
+_ciq_quad.defvjp(_ciq_quad_fwd, _ciq_quad_bwd)
+
+
 def contour_integral_quad(linop, rhs, inverse: bool = True, num_quad: Optional[int] = None):
     """Return K^{-1/2} rhs (inverse=True) or K^{1/2} rhs."""
     if num_quad is None:
@@ -168,9 +221,7 @@ def contour_integral_quad(linop, rhs, inverse: bool = True, num_quad: Optional[i
     shifts = jax.lax.stop_gradient(shifts.astype(rhs.dtype))
     weights = jax.lax.stop_gradient(weights.astype(rhs.dtype))
     max_iter = int(settings.max_minres_iterations.value())
-    solves = shifted_cg(lambda v: linop._matmul(v), rhs, shifts, max_iter=max_iter)
-    w = weights.reshape((-1,) + (1,) * rhs.ndim)
-    inv_sqrt = jnp.sum(w * solves, axis=0)  # ≈ K^{-1/2} rhs
+    inv_sqrt = _ciq_quad(linop, rhs, (shifts, weights), max_iter)
     if inverse:
         return inv_sqrt
     return linop._matmul(inv_sqrt)  # K^{1/2} = K · K^{-1/2}

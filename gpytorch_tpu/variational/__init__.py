@@ -14,18 +14,36 @@ from .multitask_variational_strategies import (
     LMCVariationalStrategy,
 )
 from .variational_strategy import UnwhitenedVariationalStrategy, VariationalStrategy
+from .ciq_variational_strategy import CiqVariationalStrategy
+from .decoupled_variational_strategies import (
+    BatchDecoupledVariationalStrategy,
+    OrthogonallyDecoupledVariationalStrategy,
+)
+from .grid_interpolation_variational_strategy import (
+    AdditiveGridInterpolationVariationalStrategy,
+    GridInterpolationVariationalStrategy,
+)
+from .large_batch_variational_strategy import LargeBatchVariationalStrategy
+from .nearest_neighbor_variational_strategy import NNVariationalStrategy
 
 # backwards-compat alias matching the reference deprecation
 MultitaskVariationalStrategy = IndependentMultitaskVariationalStrategy
 
 __all__ = [
+    "AdditiveGridInterpolationVariationalStrategy",
+    "BatchDecoupledVariationalStrategy",
     "CholeskyVariationalDistribution",
+    "CiqVariationalStrategy",
     "DeltaVariationalDistribution",
+    "GridInterpolationVariationalStrategy",
     "IndependentMultitaskVariationalStrategy",
     "LMCVariationalStrategy",
+    "LargeBatchVariationalStrategy",
     "MeanFieldVariationalDistribution",
     "MultitaskVariationalStrategy",
+    "NNVariationalStrategy",
     "NaturalVariationalDistribution",
+    "OrthogonallyDecoupledVariationalStrategy",
     "TrilNaturalVariationalDistribution",
     "UnwhitenedVariationalStrategy",
     "VariationalStrategy",
