@@ -45,6 +45,7 @@ class Module(DictPyTree):
     def __init__(self):
         d = object.__getattribute__(self, "__dict__")
         d.setdefault("_param_names", [])        # registered raw parameter attribute names
+        d.setdefault("_buffer_names", [])       # registered non-trainable array attribute names
         d.setdefault("_constraints", {})        # param name -> constraint (static bijector)
         d.setdefault("_priors", {})             # prior name -> (param_or_closure_name, prior, setting_name)
         d.setdefault("_added_loss_terms", {})
@@ -62,6 +63,8 @@ class Module(DictPyTree):
     def register_buffer(self, name: str, value) -> None:
         d = object.__getattribute__(self, "__dict__")
         d[name] = None if value is None else jnp.asarray(value)
+        if name not in d["_buffer_names"]:
+            d["_buffer_names"].append(name)
 
     def register_constraint(self, param_name: str, constraint, replace: bool = True) -> None:
         """Attach a static bijector to a raw parameter (reference: gpytorch/module.py:329)."""

@@ -166,15 +166,25 @@ class Kernel(Module):
         return DefaultPredictionStrategy(train_inputs, train_prior_dist, train_labels, likelihood)
 
     def __getitem__(self, index):
-        """Index the kernel's batch dimensions (reference: kernel.py __getitem__)."""
-        if not self.batch_shape:
+        """Index the kernel's batch dimensions (reference: kernel.py __getitem__).
+
+        Composition kernels (Additive/Product/Scale) may themselves be unbatched while
+        their children carry the batch dims — index any batched sub-kernel."""
+        if not any(
+            isinstance(mod, Kernel) and len(mod.batch_shape) > 0 for mod in self.modules()
+        ):
             raise IndexError("Kernel has no batch dimensions to index")
         drop = 1 if isinstance(index, int) else sum(1 for ix in index if isinstance(ix, int)) if isinstance(index, tuple) else 0
         new = self.deepcopy()
         for mod in new.modules():
             if not isinstance(mod, Kernel) or len(mod.batch_shape) == 0:
                 continue
-            for pname in mod._param_names:
+            nb = len(mod.batch_shape)
+            for pname in mod._param_names + [
+                b for b in getattr(mod, "_buffer_names", [])
+                if object.__getattribute__(mod, "__dict__").get(b) is not None
+                and object.__getattribute__(mod, "__dict__")[b].shape[:nb] == tuple(mod.batch_shape)
+            ]:
                 val = object.__getattribute__(mod, "__dict__")[pname]
                 object.__getattribute__(mod, "__dict__")[pname] = val[index]
             new_batch = tuple(jnp.zeros(mod.batch_shape)[index].shape)
@@ -195,10 +205,14 @@ class AdditiveKernel(Kernel):
         return all(k.is_stationary for k in self.kernels)
 
     def forward(self, x1, x2, diag=False, **params):
+        # go through each child's __call__ so per-child active_dims apply (reference :592
+        # sums lazily-evaluated child kernels)
         res = None
         for k in self.kernels:
-            nxt = k.forward(x1, x2, diag=diag, **params)
-            if diag and isinstance(nxt, LinearOperator):
+            nxt = k(x1, x2, diag=diag, **params)
+            if not diag:
+                nxt = nxt.evaluate_kernel() if hasattr(nxt, "evaluate_kernel") else nxt
+            elif isinstance(nxt, LinearOperator):
                 nxt = nxt.to_dense()
             res = nxt if res is None else (res + nxt)
         return res
@@ -219,9 +233,10 @@ class ProductKernel(Kernel):
         return all(k.is_stationary for k in self.kernels)
 
     def forward(self, x1, x2, diag=False, **params):
+        # go through each child's __call__ so per-child active_dims apply (reference :634)
         res = None
         for k in self.kernels:
-            nxt = k.forward(x1, x2, diag=diag, **params)
+            nxt = k(x1, x2, diag=diag, **params)
             if isinstance(nxt, LinearOperator):
                 nxt = nxt.to_dense() if not diag else nxt._diagonal()
             res = nxt if res is None else res * nxt

@@ -18,6 +18,12 @@ from ..constraints import Interval, Positive
 from .kernel import Kernel
 
 
+
+def _ones_delta(x):
+    """Default unit delta/lengthscale function (module-level so kernels stay picklable)."""
+    return jnp.ones_like(x[..., 0])
+
+
 class ArcKernel(Kernel):
     """Embeds inputs on a hypersphere arc then applies the base kernel
     (reference: arc_kernel.py:14; arXiv 1806.08195)."""
@@ -30,7 +36,7 @@ class ArcKernel(Kernel):
             base_kernel.lengthscale = 1.0
         self.base_kernel = base_kernel
         if delta_func is None:
-            delta_func = lambda x: jnp.ones_like(x[..., 0])
+            delta_func = _ones_delta  # module-level default: keeps the kernel picklable
         self.delta_func = delta_func
         num_dims = self.ard_num_dims if self.ard_num_dims is not None else 1
         dt = self._param_dtype
@@ -141,7 +147,7 @@ class GibbsKernel(Kernel):
     def __init__(self, lengthscale_function: Optional[Callable] = None, **kwargs):
         super().__init__(**kwargs)
         if lengthscale_function is None:
-            lengthscale_function = lambda x: jnp.ones_like(x[..., 0])
+            lengthscale_function = _ones_delta  # module-level default: keeps the kernel picklable
         self.lengthscale_function = lengthscale_function
 
     def forward(self, x1, x2, diag=False, last_dim_is_batch=False, **params):
