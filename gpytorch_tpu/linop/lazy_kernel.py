@@ -63,7 +63,14 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         return to_linear_operator(res)
 
     def to_dense(self):
-        return self.evaluate_kernel().to_dense()
+        res = self.evaluate_kernel()
+        if res is self:
+            # over the eager-size policy threshold, but densification was explicitly
+            # requested — run the kernel forward directly (no recursion through the policy)
+            with settings.lazily_evaluate_kernels(False):
+                out = self.kernel.forward(self.x1, self.x2, last_dim_is_batch=self.last_dim_is_batch)
+            return out.to_dense() if isinstance(out, LinearOperator) else out
+        return res.to_dense()
 
     def _diagonal(self):
         if self.x1.shape == self.x2.shape:

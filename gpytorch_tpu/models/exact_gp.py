@@ -61,6 +61,12 @@ class ExactGP(GP):
 
     # -- fantasy models (reference :151-263) --------------------------------------------------
     def get_fantasy_model(self, inputs, targets, **kwargs):
+        """Condition on new observations without refitting (reference :151-263).
+
+        If this model has an active prediction strategy (it has been evaluated), the new
+        model's caches are produced by the strategy's rank-m Schur update
+        (exact_prediction_strategies.get_fantasy_strategy) rather than recomputed from
+        scratch against the (n+m)-sized joint system."""
         if self.train_inputs is None:
             raise RuntimeError("Cannot get a fantasy model without training data")
         if not isinstance(inputs, (list, tuple)):
@@ -75,6 +81,13 @@ class ExactGP(GP):
         new_model.train_inputs = full_inputs
         new_model.train_targets = full_targets
         new_model.clear_caches()
+        old_strategy = self._cache.get("prediction_strategy")
+        if old_strategy is not None:
+            full_output = self.forward(*full_inputs, **kwargs)
+            new_strategy = old_strategy.get_fantasy_strategy(
+                inputs, targets, full_inputs, full_targets, full_output, **kwargs
+            )
+            new_model._cache["prediction_strategy"] = new_strategy
         return new_model
 
     # -- prior helpers (reference :335-429) ----------------------------------------------------

@@ -136,13 +136,44 @@ class DefaultPredictionStrategy:
 
     # -- fantasy updates ----------------------------------------------------------------
     def get_fantasy_strategy(self, inputs, targets, full_inputs, full_targets, full_output, **kwargs):
-        """Rank-one/fantasy update (reference :137-265).  TPU-native simplification: rebuild
-        the caches on the joint data via one solve (the joint covariance is already lazy, so
-        this is an O(m) extra CG, not an O(n³) refactorization)."""
+        """Rank-m fantasy update of the mean cache via the block-Schur identity
+        (reference «fant_solve», :137-265):
+
+          [[Â, B ], [u]   [r₁]        v = S⁻¹(r₂ − Bᵀ u_old),  S = D − Bᵀ Â⁻¹ B
+           [Bᵀ, D]] [v] = [r₂]  ⇒     u = u_old − (Â⁻¹B) v
+
+        so the update costs m solves against the OLD n×n system plus an m×m Cholesky —
+        never a refactorization/resolve of the (n+m)×(n+m) joint.  The LOVE covar cache is
+        left to lazy recomputation on the joint operator (it is optional under
+        fast_pred_var, matching the reference's treatment of ``covar_cache``)."""
         lik = self.likelihood
         if hasattr(lik, "get_fantasy_likelihood"):
             lik = lik.get_fantasy_likelihood(**kwargs)
-        return DefaultPredictionStrategy(full_inputs, full_output, full_targets, lik)
+        new_strategy = DefaultPredictionStrategy(full_inputs, full_output, full_targets, lik)
+
+        m = jnp.asarray(targets).shape[-1]
+        n = self.num_train
+        if full_output.loc.shape[-1] == n + m:
+            prior_joint = full_output.lazy_covariance_matrix
+            # cross block has no noise (diagonal Σ); lazy slicing slices the inputs, so this
+            # is an (n, m) kernel evaluation, not a joint rebuild
+            B = prior_joint[..., :n, n:].evaluate_kernel().to_dense()
+            new_block = MultivariateNormal(
+                full_output.loc[..., n:], prior_joint[..., n:, n:].evaluate_kernel()
+            )
+            D = lik.marginal(new_block).lazy_covariance_matrix.to_dense()
+            u_old = self.mean_cache  # (n,)
+            AinvB = self.lik_train_train_covar.solve(B)  # m solves against the OLD system
+            S = D - jnp.swapaxes(B, -1, -2) @ AinvB
+            r2 = jnp.asarray(full_targets)[..., n:] - new_block.loc
+            from ..solvers.cholesky import psd_safe_cholesky
+
+            Ls = psd_safe_cholesky(S)
+            resid = r2 - (jnp.swapaxes(B, -1, -2) @ u_old[..., None])[..., 0]
+            v = jax.scipy.linalg.cho_solve((Ls, True), resid[..., None])[..., 0]
+            u = u_old - (AinvB @ v[..., None])[..., 0]
+            new_strategy._mean_cache = _maybe_detach(jnp.concatenate([u, v], axis=-1))
+        return new_strategy
 
 
 class InterpolatedPredictionStrategy(DefaultPredictionStrategy):
@@ -246,9 +277,182 @@ class InterpolatedPredictionStrategy(DefaultPredictionStrategy):
         solve = self.lik_train_train_covar.solve(jnp.swapaxes(test_train, -1, -2))
         return DenseLinearOperator(Kss - test_train @ _maybe_detach(solve))
 
+    def get_fantasy_strategy(self, inputs, targets, full_inputs, full_targets, full_output, **kwargs):
+        """Fantasy updates promote to the WISKI strategy: O(n q²) one-time statistics build,
+        then every subsequent update is O(m²) (reference :513-551, WISKI arXiv 2103.01454)."""
+        wiski = WiskiPredictionStrategy.from_interpolated(self)
+        return wiski.get_fantasy_strategy(inputs, targets, full_inputs, full_targets, full_output, **kwargs)
+
+
+def _wtw_wtr(idx, vals, r, m):
+    """Accumulate WᵀW (m×m) and Wᵀr (m,) from sparse interpolation rows — the WISKI
+    sufficient statistics (reference :560-677; arXiv 2103.01454)."""
+    outer = vals[..., :, None] * vals[..., None, :]  # (n, q, q)
+    flat_idx = (idx[..., :, None] * m + idx[..., None, :]).reshape(-1)
+    wtw = jnp.zeros((m * m,), dtype=vals.dtype).at[flat_idx].add(outer.reshape(-1)).reshape(m, m)
+    from ..ops.interp import left_t_interp
+
+    wtr = left_t_interp(idx, vals, r[..., None], m)[..., 0]
+    return wtw, wtr
+
+
+class WiskiPredictionStrategy(InterpolatedPredictionStrategy):
+    """WISKI online updates (reference :560-677; Stanton et al., arXiv 2103.01454).
+
+    For K̂ = W K_UU Wᵀ + σ²I the inducing-space normal equations give
+      Wᵀ K̂⁻¹ r = (WᵀW K_UU + σ²I)⁻¹ Wᵀ r        (mean path)
+      Wᵀ K̂⁻¹ W = (WᵀW K_UU + σ²I)⁻¹ WᵀW          (covariance path)
+    so the posterior depends on the data only through WᵀW and Wᵀr — O(m²) running sums
+    that rank-one updates simply add to.  No O(n) work per fantasy update."""
+
+    def __init__(self, train_inputs, train_prior_dist, train_labels, likelihood, wtw, wtr, noise):
+        super().__init__(train_inputs, train_prior_dist, train_labels, likelihood)
+        self.wtw = wtw
+        self.wtr = wtr
+        self.noise = noise
+
+    def _kuu(self):
+        return self._train_interp().base
+
+    def _m_system(self):
+        Kuu = self._kuu().to_dense()
+        m = Kuu.shape[-1]
+        return self.wtw @ Kuu + self.noise * jnp.eye(m, dtype=Kuu.dtype), Kuu
+
+    @property
+    def interp_mean_cache(self):
+        if self._interp_mean_cache is None:
+            M, Kuu = self._m_system()
+            c = jnp.linalg.solve(M, self.wtr[..., None])
+            self._interp_mean_cache = _maybe_detach(Kuu @ c)  # (m, 1)
+        return self._interp_mean_cache
+
+    @property
+    def interp_covar_cache(self):
+        """Root of P = K_UU (WᵀW K_UU + σ²I)⁻¹ WᵀW K_UU, so posterior covar =
+        w*ᵀ(K_UU − P)w* — all in inducing space."""
+        if self._interp_covar_cache is None:
+            from ..solvers.cholesky import psd_safe_cholesky
+
+            M, Kuu = self._m_system()
+            P = Kuu @ jnp.linalg.solve(M, self.wtw @ Kuu)
+            P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+            self._interp_covar_cache = _maybe_detach(psd_safe_cholesky(P))
+        return self._interp_covar_cache
+
+    def _interp_predictive_covar(self, joint, idx, val):
+        from ..ops.interp import left_interp
+        from ..linop import InterpolatedLinearOperator as ILO
+
+        if settings.skip_posterior_variances.on():
+            n_test = idx.shape[-2]
+            return ZeroLinearOperator(*(idx.shape[:-2] + (n_test, n_test)), dtype=val.dtype)
+        test_test = ILO(joint.base, idx, val)
+        root = left_interp(idx, val, self.interp_covar_cache)  # (n_test, m)
+        return (test_test + RootLinearOperator(root) * -1.0).evaluate_kernel()
+
+    def get_fantasy_strategy(self, inputs, targets, full_inputs, full_targets, full_output, **kwargs):
+        """O(m²) update: interpolate the new points, add their WᵀW / Wᵀr contributions."""
+        lik = self.likelihood
+        if hasattr(lik, "get_fantasy_likelihood"):
+            lik = lik.get_fantasy_likelihood(**kwargs)
+        joint = full_output.lazy_covariance_matrix.evaluate_kernel()
+        n_new = jnp.asarray(targets).shape[-1]
+        new_idx = joint.left_interp_indices[..., -n_new:, :]
+        new_val = joint.left_interp_values[..., -n_new:, :]
+        m = self._kuu().shape[-1]
+        mean_new = full_output.loc[..., -n_new:]
+        d_wtw, d_wtr = _wtw_wtr(new_idx, new_val, jnp.asarray(targets) - mean_new, m)
+        return WiskiPredictionStrategy(
+            full_inputs, full_output, full_targets, lik,
+            self.wtw + d_wtw, self.wtr + d_wtr, self.noise,
+        )
+
+    @classmethod
+    def from_interpolated(cls, strategy: "InterpolatedPredictionStrategy"):
+        """One-time O(n q²) build of the sufficient statistics from a standard strategy."""
+        interp = strategy._train_interp()
+        m = interp.base.shape[-1]
+        mvn = strategy.likelihood.marginal(strategy.train_prior_dist)
+        r = strategy.train_labels - mvn.loc
+        wtw, wtr = _wtw_wtr(interp.left_interp_indices, interp.left_interp_values, r, m)
+        noise = strategy.likelihood.noise
+        noise = jnp.reshape(noise, (-1,))[0]
+        return cls(
+            strategy.train_inputs, strategy.train_prior_dist, strategy.train_labels,
+            strategy.likelihood, wtw, wtr, noise,
+        )
+
 
 class LinearPredictionStrategy(DefaultPredictionStrategy):
-    """RFF / linear kernels: Woodbury in feature space (reference :830)."""
+    """RFF / linear kernels: Woodbury in feature space (reference :830-1019).
+
+    For K = Φ Φᵀ (features Φ ∈ R^{n×k}) and K̂ = K + σ²I:
+      mean cache  w = (σ²I + ΦᵀΦ)⁻¹ Φᵀ (y−μ)           → μ* = φ*ᵀ w + μ(x*)
+      covar cache R = chol(σ² (σ²I + ΦᵀΦ)⁻¹)            → Σ* = (φ*ᵀR)(φ*ᵀR)ᵀ
+    Everything is O(n k²) once + O(k²) per test point — never an n×n solve."""
+
+    def __init__(self, train_inputs, train_prior_dist, train_labels, likelihood, **kwargs):
+        super().__init__(train_inputs, train_prior_dist, train_labels, likelihood)
+        self._feat_mean_cache = None
+        self._feat_covar_root = None
+
+    @staticmethod
+    def _root_of(covar) -> Optional[jax.Array]:
+        """Extract the feature matrix Φ from a (possibly noise-wrapped) low-rank operator."""
+        from ..linop import AddedDiagLinearOperator, LowRankRootLinearOperator, RootLinearOperator
+        from ..linop.root import LowRankRootAddedDiagLinearOperator
+
+        covar = covar.evaluate_kernel() if hasattr(covar, "evaluate_kernel") else covar
+        if isinstance(covar, AddedDiagLinearOperator):
+            covar = covar.base.evaluate_kernel()
+        if isinstance(covar, LowRankRootAddedDiagLinearOperator):
+            covar = covar.low_rank
+        if isinstance(covar, (RootLinearOperator, LowRankRootLinearOperator)):
+            return covar.root.to_dense() if isinstance(covar.root, LinearOperator) else jnp.asarray(covar.root)
+        return None
+
+    def _noise_scalar(self):
+        noise = self.likelihood.noise
+        return jnp.reshape(noise, (-1,))[0]
+
+    def _feature_caches(self):
+        if self._feat_mean_cache is None:
+            phi = self._root_of(self.train_prior_dist.lazy_covariance_matrix)
+            if phi is None:
+                return None, None
+            sigma2 = self._noise_scalar()
+            k = phi.shape[-1]
+            gram = jnp.swapaxes(phi, -1, -2) @ phi + sigma2 * jnp.eye(k, dtype=phi.dtype)
+            from ..solvers.cholesky import psd_safe_cholesky
+
+            Lg = psd_safe_cholesky(gram)
+            mvn = self.likelihood.marginal(self.train_prior_dist)
+            diff = (self.train_labels - mvn.loc)[..., None]
+            w = jax.scipy.linalg.cho_solve((Lg, True), jnp.swapaxes(phi, -1, -2) @ diff)
+            # R Rᵀ = σ² gram⁻¹:  R = √σ² Lg⁻ᵀ
+            eye = jnp.eye(k, dtype=phi.dtype)
+            R = jnp.sqrt(sigma2) * jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(Lg, -1, -2), eye, lower=False
+            )
+            self._feat_mean_cache = _maybe_detach(w)
+            self._feat_covar_root = _maybe_detach(R)
+        return self._feat_mean_cache, self._feat_covar_root
+
+    def exact_prediction(self, joint_mean, joint_covar):
+        n = self.num_train
+        phi_joint = self._root_of(joint_covar)
+        w, R = self._feature_caches()
+        if phi_joint is None or w is None:
+            return super().exact_prediction(joint_mean, joint_covar)
+        test_mean = joint_mean[..., n:]
+        phi_test = phi_joint[..., n:, :]
+        pred_mean = (phi_test @ w)[..., 0] + test_mean
+        if settings.skip_posterior_variances.on():
+            m = phi_test.shape[-2]
+            return pred_mean, ZeroLinearOperator(m, m, dtype=phi_test.dtype)
+        pred_covar = RootLinearOperator(phi_test @ R)
+        return pred_mean, pred_covar
 
 
 class SGPRPredictionStrategy(DefaultPredictionStrategy):

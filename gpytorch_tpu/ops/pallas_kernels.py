@@ -113,11 +113,21 @@ def _d2_tile(a, bt_or_b, d: int, direct: bool):
     return jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
 
 
+# max rhs columns per pallas_call: v tile (BM, T) + out tile (BN, T) must fit VMEM with
+# double buffering (16 MB scoped limit on v5e)
+_MAX_T = 512
+
+
 def _matvec_pallas(x1, x2, v, kernel_type: int):
     from jax.experimental import pallas as pl
 
     from .. import settings
 
+    if v.shape[1] > _MAX_T:
+        return jnp.concatenate(
+            [_matvec_pallas(x1, x2, v[:, i : i + _MAX_T], kernel_type) for i in range(0, v.shape[1], _MAX_T)],
+            axis=1,
+        )
     n, d = x1.shape
     m, t = v.shape[0], v.shape[1]
     Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
@@ -184,6 +194,13 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
 def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
     from jax.experimental import pallas as pl
 
+    if v.shape[1] > _MAX_T:
+        # dX contributions are additive over rhs-column chunks (W = k'·(g vᵀ) is a sum)
+        total = None
+        for i in range(0, v.shape[1], _MAX_T):
+            part = _grad_x_pallas(x1, x2, g[:, i : i + _MAX_T], v[:, i : i + _MAX_T], kernel_type)
+            total = part if total is None else total + part
+        return total
     n, d = x1.shape
     m = x2.shape[0]
     t = v.shape[1]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import settings
 from ..core.module import Module
 from ..distributions import Delta, MultivariateNormal, kl_divergence
-from ..linop import LinearOperator
+from ..linop import LinearOperator, to_linear_operator
 
 
 class _VariationalStrategy(Module):
@@ -116,6 +116,62 @@ class _VariationalStrategy(Module):
             return self.forward(x, inducing_points, q_u.v, None, model=model, **kwargs)
         raise RuntimeError(f"Invalid variational distribution type {type(q_u)}")
 
-    # reference :169-323 — online/fantasy updates via pseudo points
-    def get_fantasy_model(self, inputs, targets, **kwargs):
-        raise NotImplementedError("Variational fantasy updates land with the WISKI/online-update milestone")
+    # -- online variational conditioning (reference :169-323; Maddox et al. '21) -------------
+    def pseudo_points(self, model=None):
+        """Return (pseudo_target_covar, pseudo_target_mean): an equivalent heteroskedastic
+        exact-GP observation model over the inducing points such that conditioning on
+        (Z, ỹ) with noise D̃ reproduces q(f).  Implemented by the whitened/unwhitened
+        strategies (reference variational_strategy.py:209, unwhitened...:71)."""
+        raise NotImplementedError("Each variational strategy must implement its own pseudo points method")
+
+    def amortized_exact_gp(self, model=None, mean_module=None, covar_module=None):
+        """Exact GP over the inducing pseudo-observations (reference :169-222)."""
+        model = self._resolve_model(model)
+        mean_module = mean_module if mean_module is not None else model.mean_module
+        covar_module = covar_module if covar_module is not None else model.covar_module
+        pseudo_covar, pseudo_mean = self.pseudo_points(model)
+        Z = jax.lax.stop_gradient(self.inducing_points)
+        pseudo_y = pseudo_mean[..., 0] + mean_module(Z)
+
+        from ..likelihoods.gaussian_likelihood import GaussianLikelihood
+        from ..models.exact_gp import ExactGP
+
+        class _PseudoExactGP(ExactGP):
+            def __init__(self, tx, ty, lik, mean_mod, covar_mod):
+                super().__init__(tx, ty, lik)
+                self.mean_module = mean_mod
+                self.covar_module = covar_mod
+
+            def forward(self, x):
+                return MultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+        lik = model.likelihood if hasattr(model, "likelihood") else GaussianLikelihood()
+        exact = _PseudoExactGP(Z, pseudo_y, lik, mean_module, covar_module)
+        exact.eval()
+
+        # the pseudo observation noise is the full matrix D̃, not the likelihood's σ²I:
+        # build the prediction strategy and overwrite its training covariance
+        from ..models.exact_prediction_strategies import DefaultPredictionStrategy
+
+        prior = exact.forward(Z)
+        strategy = DefaultPredictionStrategy((Z,), prior, pseudo_y, lik)
+        strategy.lik_train_train_covar = (
+            prior.lazy_covariance_matrix.evaluate_kernel()
+            + to_linear_operator(pseudo_covar)
+        ).evaluate_kernel()
+        exact._cache["prediction_strategy"] = strategy
+        return exact
+
+    def get_fantasy_model(self, inputs, targets, model=None, mean_module=None, covar_module=None, **kwargs):
+        """Online variational conditioning: return an ExactGP over (Z ∪ inputs) whose
+        posterior incorporates both the variational approximation and the new observations
+        (reference :227-323; arXiv 2110.15172 'Conditioning Sparse Variational GPs for
+        Online Decision-Making')."""
+        from ._variational_distribution import CholeskyVariationalDistribution
+
+        if not isinstance(self._variational_distribution, CholeskyVariationalDistribution):
+            raise NotImplementedError(
+                "Fantasy models are only supported for CholeskyVariationalDistribution (matches reference)"
+            )
+        exact = self.amortized_exact_gp(model=model, mean_module=mean_module, covar_module=covar_module)
+        return exact.get_fantasy_model(inputs, targets, **kwargs)

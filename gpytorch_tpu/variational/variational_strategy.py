@@ -29,7 +29,51 @@ from ..solvers.cholesky import psd_safe_cholesky
 from ._variational_strategy import _VariationalStrategy
 
 
+def _pseudo_points_from(var_chol, var_mean, cov_diff, K_root, jitter_val, whitened: bool):
+    """Shared OVC pseudo-point math (reference variational_strategy.py:209-262 /
+    unwhitened_variational_strategy.py:71-120).
+
+    D̃ = (S⁻¹ − R⁻¹_prior)⁻¹ = S + S R⁻¹ S with R = I − S (whitened) or K − S (unwhitened);
+    computed via the normal equations (R Rᵀ + εI)⁻¹ Rᵀ S since R need not be PSD.
+    Whitened quantities are mapped back through K^{1/2}.
+    """
+    S = var_chol @ jnp.swapaxes(var_chol, -1, -2)
+    m_vec = var_mean[..., None]
+    Rt_S = jnp.swapaxes(cov_diff, -1, -2) @ S
+    inner = cov_diff @ jnp.swapaxes(cov_diff, -1, -2) + jitter_val * jnp.eye(
+        cov_diff.shape[-1], dtype=cov_diff.dtype
+    )
+    Linner = psd_safe_cholesky(inner)
+    inner_solve = jax.scipy.linalg.cho_solve((Linner, True), Rt_S)
+    pseudo_covar = S + S @ inner_solve
+    rhs = jnp.swapaxes(cov_diff, -1, -2) @ m_vec
+    inner_mean_solve = jax.scipy.linalg.cho_solve((Linner, True), rhs)
+    if whitened:
+        pseudo_covar = K_root @ pseudo_covar @ jnp.swapaxes(K_root, -1, -2)
+        pseudo_mean = K_root @ inner_mean_solve
+    else:
+        pseudo_mean = m_vec + S @ inner_mean_solve
+    # symmetrize (solve round-off)
+    pseudo_covar = 0.5 * (pseudo_covar + jnp.swapaxes(pseudo_covar, -1, -2))
+    return pseudo_covar, pseudo_mean
+
+
 class VariationalStrategy(_VariationalStrategy):
+    def pseudo_points(self, model=None):
+        """Whitened OVC pseudo points (reference variational_strategy.py:209-262)."""
+        from ._variational_distribution import CholeskyVariationalDistribution
+
+        if not isinstance(self._variational_distribution, CholeskyVariationalDistribution):
+            raise NotImplementedError("pseudo points require CholeskyVariationalDistribution")
+        model = self._resolve_model(model)
+        var_chol = jnp.tril(self._variational_distribution.chol_variational_covar)
+        var_mean = self._variational_distribution.variational_mean
+        S = var_chol @ jnp.swapaxes(var_chol, -1, -2)
+        eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+        K_ZZ = model.forward(self.inducing_points).lazy_covariance_matrix.evaluate_kernel()
+        K_root = psd_safe_cholesky(K_ZZ.add_jitter(self.jitter_val).to_dense())
+        return _pseudo_points_from(var_chol, var_mean, eye - S, K_root, self.jitter_val, whitened=True)
+
     def prior_distribution(self, model=None) -> MultivariateNormal:
         """Whitened prior = N(0, I) (reference: variational_strategy.py prior_distribution)."""
         m = self._variational_distribution.num_inducing_points
@@ -82,6 +126,19 @@ class VariationalStrategy(_VariationalStrategy):
 class UnwhitenedVariationalStrategy(_VariationalStrategy):
     """q(u) directly over inducing values (reference:
     gpytorch/variational/unwhitened_variational_strategy.py:29)."""
+
+    def pseudo_points(self, model=None):
+        """Unwhitened OVC pseudo points, R = K − S (reference :71-120)."""
+        from ._variational_distribution import CholeskyVariationalDistribution
+
+        if not isinstance(self._variational_distribution, CholeskyVariationalDistribution):
+            raise NotImplementedError("pseudo points require CholeskyVariationalDistribution")
+        model = self._resolve_model(model)
+        var_chol = jnp.tril(self._variational_distribution.chol_variational_covar)
+        var_mean = self._variational_distribution.variational_mean
+        S = var_chol @ jnp.swapaxes(var_chol, -1, -2)
+        K_ZZ = model.forward(self.inducing_points).lazy_covariance_matrix.evaluate_kernel().to_dense()
+        return _pseudo_points_from(var_chol, var_mean, K_ZZ - S, None, self.jitter_val, whitened=False)
 
     def prior_distribution(self, model=None) -> MultivariateNormal:
         model = self._resolve_model(model)
