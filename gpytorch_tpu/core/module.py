@@ -207,7 +207,9 @@ class Module(DictPyTree):
         constraint = self._constraints.get(raw_name)
         value = jnp.asarray(value, dtype=object.__getattribute__(self, "__dict__")[raw_name].dtype)
         raw_cur = object.__getattribute__(self, "__dict__")[raw_name]
-        value = jnp.broadcast_to(value, raw_cur.shape)
+        # shape-tolerant: values may carry extra leading (sample/batch) dims — the parameter
+        # grows (reference: load_strict_shapes(False), gpytorch/module.py:396)
+        value = jnp.broadcast_to(value, jnp.broadcast_shapes(value.shape, raw_cur.shape))
         raw = constraint.inverse_transform(value) if constraint is not None else value
         object.__getattribute__(self, "__dict__")[raw_name] = raw
 

@@ -10,6 +10,7 @@ from .gplvm import (
     VariationalLatentVariable,
 )
 from .model_list import AbstractModelList, IndependentModelList
+from .pyro import NumPyroGP, PyroGP, load_from_samples_tree, sample_from_prior_tree
 
 __all__ = [
     "AbstractModelList",
@@ -23,6 +24,10 @@ __all__ = [
     "GP",
     "IndependentModelList",
     "LatentVariable",
+    "NumPyroGP",
+    "PyroGP",
+    "load_from_samples_tree",
+    "sample_from_prior_tree",
     "MAPLatentVariable",
     "PointLatentVariable",
     "VariationalLatentVariable",

@@ -138,7 +138,17 @@ def linear_cg(
     solution = x * rhs_norm
     solution = jnp.where(rhs_is_zero, jnp.zeros_like(solution), solution)
     if settings.verbose_linalg.on():
-        settings.logger.debug(f"linear_cg: shape {rhs.shape}, max_iter {max_iter}")
+        # jit-compatible runtime observability: iteration count + residual summary per solve
+        # (the reference's verbose_linalg logs every linalg call; SURVEY §5 asks for CG stats)
+        resid = _col_norm(r)
+
+        def _log(num_iters, max_resid, mean_resid):
+            settings.logger.info(
+                "linear_cg: rhs %s, max_iter %d, tol %.2e -> %d iters, residual max %.3e mean %.3e",
+                rhs.shape, max_iter, tolerance, int(num_iters), float(max_resid), float(mean_resid),
+            )
+
+        jax.debug.callback(_log, k, jnp.max(resid), jnp.mean(resid))
     if n_tridiag_iter > 0:
         return CGResult(solution, alphas[:n_tridiag_iter], betas[:n_tridiag_iter], k, _col_norm(r))
     return CGResult(solution, None, None, k, _col_norm(r))
