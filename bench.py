@@ -1,14 +1,21 @@
-"""Benchmark: mBCG train iteration (inv_quad + SLQ logdet + BBMM gradients) at N=100k.
+"""Benchmark: mBCG exact-GP training at N=100k, d=3 (UCI-3droad-shaped) on the real TPU chip.
 
-Mirrors the driver north-star (BASELINE.json): exact-GP training step wall-clock at N=100k,
-d=3 (UCI 3droad shape), RBF kernel + Gaussian likelihood, on the real TPU chip.
+Mirrors the driver north star (BASELINE.md): exact-GP train-iteration wall-clock at N=100k
+plus test RMSE/NLL after a fixed Adam budget, and an MFU estimate.  The A100/KeOps anchor
+(RMSE 0.138 at N=217k on the real 3droad CSV) is not reproducible here — no dataset egress —
+so the data is synthetic with the 3droad shape (d=3, standardized), and RMSE/NLL track the
+build's own quality across rounds.
 
-Prints ONE JSON line:  {"metric", "value" (seconds/iter, lower better), "unit", "vs_baseline"}
-``vs_baseline`` = speedup of the fused-Pallas mBCG step over the plain-XLA chunked-matmul
-implementation of the same step on the same chip (the direct translation a non-Pallas port
-would have used).
+Flagship solver config (shared with __graft_entry__.entry): mBCG, max_cg_iterations=100 with
+residual early exit, 10 SLQ probes (fresh key per step), rank-15 pivoted-Cholesky
+preconditioner, bf16 K·V Pallas tiles for training, f32 for eval.
+
+Prints ONE JSON line: {"metric", "value" (s/iter, lower better), "unit", "vs_baseline",
+"rmse", "nll", "mfu_pct"}.  ``vs_baseline`` = speedup of the fused-Pallas step over the
+plain-XLA chunked-matmul step (the direct-translation baseline) at N=20k on the same chip.
 """
 
+import contextlib
 import json
 import sys
 import time
@@ -16,29 +23,53 @@ import time
 import jax
 import jax.numpy as jnp
 
+# v5e peak: 197 TFLOP/s bf16 per chip
+_PEAK_FLOPS = 197e12
+
 
 def _sync(x):
     # the axon tunnel's block_until_ready doesn't actually block; force a host readback
     return float(jnp.sum(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), x, 0.0)))
 
 
+def _solver_ctx(gp, use_pallas=True, bf16=True):
+    st = contextlib.ExitStack()
+    st.enter_context(gp.settings.max_cholesky_size(0))
+    st.enter_context(gp.settings.max_cg_iterations(100))
+    st.enter_context(gp.settings.num_trace_samples(10))
+    st.enter_context(gp.settings.max_lanczos_quadrature_iterations(20))
+    st.enter_context(gp.settings.max_preconditioner_size(15))
+    st.enter_context(gp.settings.use_pallas(use_pallas))
+    st.enter_context(gp.settings.kernel_matvec_bf16(bf16))
+    return st
+
+
 def main():
+    import optax
+
     import gpytorch_tpu as gp
     from gpytorch_tpu.distributions import MultivariateNormal
     from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
     from gpytorch_tpu.likelihoods import GaussianLikelihood
     from gpytorch_tpu.means import ConstantMean
+    from gpytorch_tpu.metrics import mean_squared_error, negative_log_predictive_density
     from gpytorch_tpu.mlls import ExactMarginalLogLikelihood
     from gpytorch_tpu.models import ExactGP
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    N_TEST = 2048
     D = 3
     key = jax.random.PRNGKey(0)
-    train_x = jax.random.uniform(key, (N, D), dtype=jnp.float32)
-    train_y = (
-        jnp.sin(4 * train_x[:, 0]) * jnp.cos(3 * train_x[:, 1]) + 0.1 * train_x[:, 2]
-        + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N,), dtype=jnp.float32)
+    all_x = jax.random.uniform(key, (N + N_TEST, D), dtype=jnp.float32)
+    f = (
+        jnp.sin(4 * all_x[:, 0]) * jnp.cos(3 * all_x[:, 1])
+        + 0.5 * jnp.sin(7 * all_x[:, 2] * all_x[:, 0])
+        + 0.1 * all_x[:, 2]
     )
+    all_y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N + N_TEST,), dtype=jnp.float32)
+    all_y = (all_y - jnp.mean(all_y)) / jnp.std(all_y)
+    train_x, train_y = all_x[:N], all_y[:N]
+    test_x, test_y = all_x[N:], all_y[N:]
 
     class Model(ExactGP):
         def __init__(self, tx, ty, lik):
@@ -55,49 +86,100 @@ def main():
     model.covar_module.base_kernel.lengthscale = 0.5
     params = model.trainable_params()
 
-    solver_settings = dict(
-        max_cholesky=0, cg_iters=100, probes=10, tridiag=20, precond=15, minprecond=2000
-    )
-
     def make_step(use_pallas: bool, tx, ty):
-        def loss_fn(p):
+        opt = optax.adam(0.05)
+
+        def loss_fn(p, k):
             m = model.with_params(p)
             m.train_inputs = (tx,)
             m.train_targets = ty
-            with gp.settings.max_cholesky_size(0), gp.settings.max_cg_iterations(100), \
-                 gp.settings.num_trace_samples(10), gp.settings.max_lanczos_quadrature_iterations(20), \
-                 gp.settings.max_preconditioner_size(15), gp.settings.use_pallas(use_pallas):
+            with _solver_ctx(gp, use_pallas=use_pallas):
                 mll = ExactMarginalLogLikelihood(m.likelihood, m)
-                return -mll(m(tx), ty)
+                return -mll(m(tx), ty, key=k)
 
-        return jax.jit(jax.value_and_grad(loss_fn))
+        @jax.jit
+        def step(p, s, k):
+            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+            updates, s = opt.update(grads, s)
+            return optax.apply_updates(p, updates), s, loss
 
-    def time_step(step, iters=3):
-        v, g = step(params)
-        _sync(v)  # compile + run once
+        return step, opt
+
+    # -- timed training at N (fresh probe key per step) ------------------------------------
+    step, opt = make_step(True, train_x, train_y)
+    state = opt.init(params)
+    pkey = jax.random.PRNGKey(2)
+
+    p, s = params, state
+    pkey, sub = jax.random.split(pkey)
+    p, s, loss = step(p, s, sub)
+    _sync(loss)  # compile + one step
+
+    n_timed = 8
+    times = []
+    for _ in range(n_timed):
+        pkey, sub = jax.random.split(pkey)
         t0 = time.time()
-        for _ in range(iters):
-            v, g = step(params)
-            _sync((v, g))
-        return (time.time() - t0) / iters, float(v)
+        p, s, loss = step(p, s, sub)
+        _sync(loss)
+        times.append(time.time() - t0)
+    times.sort()
+    s_per_iter = times[len(times) // 2]  # median
 
-    pallas_time, loss_val = time_step(make_step(True, train_x, train_y))
-    # baseline ratio measured at a smaller size (the plain-XLA chunked path is too slow to
-    # run a full N=100k step inside the bench budget); same-N, same-settings comparison.
+    # a few more steps for quality before eval (total budget ~15 iters)
+    for _ in range(6):
+        pkey, sub = jax.random.split(pkey)
+        p, s, loss = step(p, s, sub)
+    _sync(loss)
+
+    # -- eval: posterior RMSE / NLL at the flagship config ---------------------------------
+    # mean: one tight CG solve (HIGHEST-precision K·V product — one-pass TPU rounding
+    # (~5e-3) stalls CG above the eval tolerance); variance: LOVE rank-100 cache
+    final = model.with_params(p)
+    final.train_inputs = (train_x,)
+    final.train_targets = train_y
+    final = final.eval()
+    with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
+         gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(0), \
+         gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(100), \
+         gp.settings.skip_posterior_variances(False):
+        pred = final.likelihood(final(test_x))
+        rmse = float(jnp.sqrt(mean_squared_error(pred, test_y)))
+        nll = float(negative_log_predictive_density(pred, test_y))
+
+    # -- MFU estimate (upper-bound FLOP count: configured CG budget) ------------------------
+    t_cols = 11  # 1 rhs + 10 probes
+    flops_matvec = N * N * (3 * D + 8 + 2 * t_cols)
+    flops_step = 100 * flops_matvec + 6 * flops_matvec  # fwd CG budget + BBMM backward passes
+    mfu_pct = 100.0 * flops_step / (s_per_iter * _PEAK_FLOPS)
+
+    # -- baseline ratio: plain-XLA chunked path at reduced N (too slow at 100k) -------------
     nb = min(N, 20_000)
     try:
-        base_t, _ = time_step(make_step(False, train_x[:nb], train_y[:nb]), iters=1)
-        pall_t, _ = time_step(make_step(True, train_x[:nb], train_y[:nb]), iters=1)
-        vs_baseline = base_t / pall_t
+        def time_one(use_pallas):
+            st2, opt2 = make_step(use_pallas, train_x[:nb], train_y[:nb])
+            s2 = opt2.init(params)
+            p2, s2, l2 = st2(params, s2, jax.random.PRNGKey(3))
+            _sync(l2)
+            t0 = time.time()
+            p2, s2, l2 = st2(p2, s2, jax.random.PRNGKey(4))
+            _sync(l2)
+            return time.time() - t0
+
+        vs_baseline = time_one(False) / time_one(True)
     except Exception:
         vs_baseline = float("nan")
+
     print(
         json.dumps(
             {
                 "metric": f"mbcg_train_iter_n{N}_wallclock",
-                "value": round(pallas_time, 4),
+                "value": round(s_per_iter, 4),
                 "unit": "s/iter",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+                "rmse": round(rmse, 4),
+                "nll": round(nll, 4),
+                "mfu_pct": round(mfu_pct, 2),
             }
         )
     )

@@ -88,11 +88,19 @@ class Positive(GreaterThan):
         return inv_softplus(value)
 
 
-@dataclasses.dataclass(frozen=True)
 class LessThan(Interval):
-    """value = upper - softplus(-raw) (reference: constraints.py:197)."""
+    """value = upper - softplus(-raw) (reference: constraints.py:197 — takes the UPPER
+    bound as its first argument, unlike the Interval dataclass field order)."""
 
-    lower_bound: float = -math.inf
+    def __init__(self, upper_bound: float = math.inf, initial_value: Optional[float] = None):
+        super().__init__(-math.inf, upper_bound, initial_value)
+
+    def intersect(self, other: "Interval") -> "Interval":
+        lower = max(self.lower_bound, other.lower_bound)
+        upper = min(self.upper_bound, other.upper_bound)
+        if lower == -math.inf:
+            return LessThan(upper, self.initial_value)
+        return Interval(lower, upper, self.initial_value)
 
     def transform(self, raw):
         return self.upper_bound - softplus(-raw)

@@ -206,6 +206,13 @@ class Module(DictPyTree):
     def _set_constrained(self, raw_name: str, value) -> None:
         constraint = self._constraints.get(raw_name)
         value = jnp.asarray(value, dtype=object.__getattribute__(self, "__dict__")[raw_name].dtype)
+        # eager out-of-support values fail loudly instead of silently becoming NaN raws
+        # (reference: initialize raises "Value must lie within constraint", module.py:122)
+        if constraint is not None and not isinstance(value, jax.core.Tracer):
+            if not constraint.check(value):
+                raise ValueError(
+                    f"Value for parameter {raw_name!r} must lie within {constraint!r}"
+                )
         raw_cur = object.__getattribute__(self, "__dict__")[raw_name]
         # shape-tolerant: values may carry extra leading (sample/batch) dims — the parameter
         # grows (reference: load_strict_shapes(False), gpytorch/module.py:396)

@@ -52,6 +52,11 @@ class DefaultPredictionStrategy:
     def __init__(self, train_inputs, train_prior_dist, train_labels, likelihood, root=None, inv_root=None):
         self.train_inputs = train_inputs
         self.train_prior_dist = train_prior_dist
+        from ..distributions import MultitaskMultivariateNormal
+
+        if isinstance(train_prior_dist, MultitaskMultivariateNormal) and train_labels.ndim >= 2:
+            # multitask labels (n, t) flatten to the distribution's interleaved layout
+            train_labels = train_prior_dist._task_to_flat(train_labels)
         self.train_labels = train_labels
         self.likelihood = likelihood
         self._mean_cache = None

@@ -1,0 +1,242 @@
+"""Coverage for core subsystems flagged untested in round 1: priors (log_prob vs scipy),
+constraints round-trip, metrics, settings semantics, state_dict round-trip, multitask GP
+end-to-end, and spectral-mixture regression (reference test/priors/, test/examples/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from scipy import stats
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.constraints import GreaterThan, Interval, LessThan, Positive
+from gpytorch_tpu.distributions import MultitaskMultivariateNormal, MultivariateNormal
+from gpytorch_tpu.kernels import MultitaskKernel, RBFKernel, ScaleKernel, SpectralMixtureKernel
+from gpytorch_tpu.likelihoods import GaussianLikelihood, MultitaskGaussianLikelihood
+from gpytorch_tpu.means import ConstantMean, MultitaskMean
+from gpytorch_tpu.metrics import (
+    mean_absolute_error,
+    mean_squared_error,
+    mean_standardized_log_loss,
+    negative_log_predictive_density,
+    quantile_coverage_error,
+    standardized_mean_squared_error,
+)
+from gpytorch_tpu.mlls import ExactMarginalLogLikelihood
+from gpytorch_tpu.models import ExactGP
+from gpytorch_tpu.priors import (
+    GammaPrior,
+    HalfCauchyPrior,
+    HalfNormalPrior,
+    HorseshoePrior,
+    LogNormalPrior,
+    NormalPrior,
+    SmoothedBoxPrior,
+    UniformPrior,
+)
+
+# ---------------------------------------------------------------------------- priors
+_X = np.asarray([0.3, 0.9, 1.7, 2.5])
+
+
+@pytest.mark.parametrize(
+    "prior,scipy_logpdf",
+    [
+        (NormalPrior(0.5, 1.2), lambda x: stats.norm.logpdf(x, 0.5, 1.2)),
+        (HalfNormalPrior(1.3), lambda x: stats.halfnorm.logpdf(x, scale=1.3)),
+        (LogNormalPrior(0.2, 0.8), lambda x: stats.lognorm.logpdf(x, 0.8, scale=np.exp(0.2))),
+        (UniformPrior(0.1, 3.0), lambda x: stats.uniform.logpdf(x, 0.1, 2.9)),
+        (HalfCauchyPrior(0.7), lambda x: stats.halfcauchy.logpdf(x, scale=0.7)),
+        (GammaPrior(2.0, 1.5), lambda x: stats.gamma.logpdf(x, 2.0, scale=1.0 / 1.5)),
+    ],
+)
+def test_prior_log_prob_matches_scipy(prior, scipy_logpdf):
+    lp = np.asarray(prior.log_prob(jnp.asarray(_X)))
+    np.testing.assert_allclose(lp, scipy_logpdf(_X), rtol=1e-5, atol=1e-6)
+
+
+def test_horseshoe_and_smoothed_box_finite():
+    hs = HorseshoePrior(1.0)
+    sb = SmoothedBoxPrior(0.0, 2.0, sigma=0.1)
+    assert np.all(np.isfinite(np.asarray(hs.log_prob(jnp.asarray(_X)))))
+    lp = np.asarray(sb.log_prob(jnp.asarray([-1.0, 1.0, 3.0])))
+    assert lp[1] > lp[0] and lp[1] > lp[2]
+
+
+def test_prior_sampling_within_support():
+    for prior, check in [
+        (GammaPrior(2.0, 1.5), lambda s: np.all(s > 0)),
+        (UniformPrior(0.1, 3.0), lambda s: np.all((s >= 0.1) & (s <= 3.0))),
+        (HalfNormalPrior(1.0), lambda s: np.all(s >= 0)),
+    ]:
+        s = np.asarray(prior.sample(jax.random.PRNGKey(0), (100,)))
+        assert check(s), type(prior).__name__
+
+
+# ------------------------------------------------------------------------- constraints
+@pytest.mark.parametrize(
+    "constraint,values",
+    [
+        (Positive(), [0.01, 1.0, 17.0]),
+        (GreaterThan(0.5), [0.51, 2.0, 9.0]),
+        (LessThan(3.0), [-4.0, 0.0, 2.9]),
+        (Interval(0.2, 0.8), [0.25, 0.5, 0.75]),
+    ],
+)
+def test_constraint_roundtrip(constraint, values):
+    v = jnp.asarray(values)
+    raw = constraint.inverse_transform(v)
+    np.testing.assert_allclose(np.asarray(constraint.transform(raw)), values, rtol=1e-5, atol=1e-7)
+
+
+def test_constraint_enforced_on_parameter():
+    lik = GaussianLikelihood()
+    lik.noise = 0.37
+    assert float(jnp.reshape(lik.noise, (-1,))[0]) == pytest.approx(0.37, rel=1e-4)
+    with pytest.raises(ValueError, match="must lie within"):
+        lik.noise = 1e-9  # below the default GreaterThan(1e-4) bound
+
+
+# ----------------------------------------------------------------------------- metrics
+def _pred_and_y():
+    mean = jnp.asarray([0.0, 1.0, 2.0])
+    covar = jnp.diag(jnp.asarray([0.25, 0.25, 0.25]))
+    y = jnp.asarray([0.5, 1.0, 1.5])
+    return MultivariateNormal(mean, covar), y
+
+
+def test_metrics_values():
+    pred, y = _pred_and_y()
+    np.testing.assert_allclose(float(mean_absolute_error(pred, y)), 1.0 / 3, rtol=1e-6)
+    np.testing.assert_allclose(float(mean_squared_error(pred, y)), (0.25 + 0 + 0.25) / 3, rtol=1e-6)
+    # NLPD = −mean log N(y; μ, σ²)
+    expected_nlpd = -np.mean(stats.norm.logpdf([0.5, 0.0, -0.5], 0, 0.5))
+    np.testing.assert_allclose(float(negative_log_predictive_density(pred, y)), expected_nlpd, rtol=1e-5)
+    assert np.isfinite(float(standardized_mean_squared_error(pred, y)))
+    assert np.isfinite(float(mean_standardized_log_loss(pred, y)))
+    qce = float(quantile_coverage_error(pred, y, quantile=95.0))
+    assert 0.0 <= qce <= 1.0
+
+
+# ----------------------------------------------------------------------------- settings
+def test_settings_context_semantics():
+    assert gp.settings.max_cg_iterations.value() == 1000
+    with gp.settings.max_cg_iterations(17):
+        assert gp.settings.max_cg_iterations.value() == 17
+        with gp.settings.max_cg_iterations(4):
+            assert gp.settings.max_cg_iterations.value() == 4
+        assert gp.settings.max_cg_iterations.value() == 17
+    assert gp.settings.max_cg_iterations.value() == 1000
+    assert not gp.settings.fast_pred_var.on()
+    with gp.settings.fast_pred_var(True):
+        assert gp.settings.fast_pred_var.on()
+    assert not gp.settings.fast_pred_var.on()
+
+
+def test_settings_snapshot_hashable():
+    with gp.settings.max_cg_iterations(42), gp.settings.deterministic_probes(True):
+        snap = gp.settings.snapshot()
+    assert snap.max_cg_iterations == 42 and snap.deterministic_probes
+    assert hash(snap) == hash(snap)
+
+
+# ----------------------------------------------------------------- state dict round trip
+class _GP(ExactGP):
+    def __init__(self, x, y, lik, kernel=None):
+        super().__init__(x, y, lik)
+        self.mean_module = ConstantMean()
+        self.covar_module = kernel if kernel is not None else ScaleKernel(RBFKernel())
+
+    def forward(self, x):
+        return MultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+
+def test_state_dict_roundtrip_exact_gp():
+    x = jnp.linspace(0, 1, 20)
+    y = jnp.sin(x)
+    m1 = _GP(x, y, GaussianLikelihood())
+    m1.covar_module.base_kernel.lengthscale = 0.123
+    m1.likelihood.noise = 0.456
+    sd = m1.state_dict()
+    m2 = _GP(x, y, GaussianLikelihood())
+    m2.load_state_dict(sd)
+    assert float(m2.covar_module.base_kernel.lengthscale.reshape(-1)[0]) == pytest.approx(0.123, rel=1e-5)
+    assert float(jnp.reshape(m2.likelihood.noise, (-1,))[0]) == pytest.approx(0.456, rel=1e-5)
+    with pytest.raises(Exception):
+        m2.load_state_dict({"not.a.param": np.ones(3)}, strict=True)
+
+
+# ------------------------------------------------------------------- multitask end-to-end
+def test_multitask_gp_regression_e2e():
+    n = 64
+    x = jnp.linspace(0, 1, n)
+    y = jnp.stack([jnp.sin(2 * jnp.pi * x), jnp.cos(2 * jnp.pi * x)], axis=-1)
+    y = y + 0.03 * jax.random.normal(jax.random.PRNGKey(0), y.shape)
+
+    class MTGP(ExactGP):
+        def __init__(self, tx, ty, lik):
+            super().__init__(tx, ty, lik)
+            self.mean_module = MultitaskMean(ConstantMean(), num_tasks=2)
+            self.covar_module = MultitaskKernel(RBFKernel(), num_tasks=2, rank=1)
+
+        def forward(self, xx):
+            return MultitaskMultivariateNormal(self.mean_module(xx), self.covar_module(xx))
+
+    lik = MultitaskGaussianLikelihood(num_tasks=2)
+    model = MTGP(x, y, lik)
+    params = model.trainable_params()
+    opt = optax.adam(0.1)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(p):
+            m = model.with_params(p)
+            return -ExactMarginalLogLikelihood(m.likelihood, m)(m(x), y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(grads, s)
+        return optax.apply_updates(p, u), s, loss
+
+    for _ in range(75):
+        params, state, loss = step(params, state)
+    model = model.with_params(params).eval()
+    test_x = jnp.linspace(0.02, 0.98, 21)
+    pred = model.likelihood(model(test_x))
+    truth = jnp.stack([jnp.sin(2 * jnp.pi * test_x), jnp.cos(2 * jnp.pi * test_x)], axis=-1)
+    mae = float(jnp.mean(jnp.abs(pred.mean - truth)))
+    assert mae < 0.1, f"multitask MAE {mae}"
+
+
+# ------------------------------------------------------------ spectral mixture regression
+def test_spectral_mixture_regression_e2e():
+    """Mirror of reference test/examples/test_spectral_mixture_gp_regression.py: 15 train
+    points of sin(2πx), 4 mixtures, Adam lr 0.01 × 300 iters, extrapolation MAE gate."""
+    x = jnp.linspace(0, 1, 15)
+    y = jnp.sin(x * (2 * jnp.pi))
+    kernel = SpectralMixtureKernel(num_mixtures=4, ard_num_dims=1)
+    kernel.initialize_from_data(x[:, None], y)
+    model = _GP(x, y, GaussianLikelihood(), kernel=kernel)
+    params = model.trainable_params()
+    opt = optax.adam(0.01)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(p):
+            m = model.with_params(p)
+            return -ExactMarginalLogLikelihood(m.likelihood, m)(m(x), y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(grads, s)
+        return optax.apply_updates(p, u), s, loss
+
+    for _ in range(300):
+        params, state, loss = step(params, state)
+    model = model.with_params(params).eval()
+    test_x = jnp.linspace(0, 1.5, 31)  # extrapolation past the train range
+    pred = model.likelihood(model(test_x))
+    mae = float(jnp.mean(jnp.abs(pred.mean - jnp.sin(test_x * 2 * jnp.pi))))
+    # reference gate is 0.02; allow slack for optimizer/init differences
+    assert mae < 0.1, f"spectral mixture MAE {mae}"
