@@ -206,13 +206,22 @@ class Module(DictPyTree):
     def _set_constrained(self, raw_name: str, value) -> None:
         constraint = self._constraints.get(raw_name)
         value = jnp.asarray(value, dtype=object.__getattribute__(self, "__dict__")[raw_name].dtype)
-        # eager out-of-support values fail loudly instead of silently becoming NaN raws
-        # (reference: initialize raises "Value must lie within constraint", module.py:122)
+        # eager out-of-support values fail loudly instead of silently becoming NaN/−inf raws
+        # (reference: initialize raises "Value must lie within constraint", module.py:122);
+        # values AT a bound are nudged just inside the open interval (a boundary raw is ±inf)
         if constraint is not None and not isinstance(value, jax.core.Tracer):
             if not constraint.check(value):
-                raise ValueError(
-                    f"Value for parameter {raw_name!r} must lie within {constraint!r}"
-                )
+                import math as _math
+
+                lo, hi = constraint.lower_bound, constraint.upper_bound
+                at_boundary = bool(jnp.all(value >= lo) and jnp.all(value <= hi))
+                if not at_boundary:
+                    raise ValueError(
+                        f"Value for parameter {raw_name!r} must lie within {constraint!r}"
+                    )
+                lo_in = lo + abs(lo) * 1e-3 + 1e-30 if _math.isfinite(lo) else lo
+                hi_in = hi - abs(hi) * 1e-3 - 1e-30 if _math.isfinite(hi) else hi
+                value = jnp.clip(value, lo_in, hi_in)
         raw_cur = object.__getattribute__(self, "__dict__")[raw_name]
         # shape-tolerant: values may carry extra leading (sample/batch) dims — the parameter
         # grows (reference: load_strict_shapes(False), gpytorch/module.py:396)

@@ -92,28 +92,71 @@ class LazyEvaluatedKernelOperator(LinearOperator):
 
     def _try_fused_matvec(self, rhs):
         """Dispatch to the Pallas streaming kernel matvec (the KeOps analogue) for
-        (Scale)(RBF|Matern) kernels without batching."""
+        (Scale)(RBF|Matern|Periodic) kernels; batched kernels map the fused op over the
+        flattened batch (reference KeOps handles batching the same way — one launch per
+        batch element)."""
         from ..ops import pallas_kernels as pk
 
-        if self.batch_shape != () or rhs.ndim != 2:
-            return None
         kernel = self.kernel
         outputscale = None
         from ..kernels.scale_kernel import ScaleKernel
+        from ..kernels.stationary import PeriodicKernel
 
         if isinstance(kernel, ScaleKernel):
             outputscale = kernel.outputscale
             kernel = kernel.base_kernel
-        ktype = pk.kernel_type_for(kernel)
-        if ktype is None:
+        periodic = type(kernel) is PeriodicKernel
+        ktype = None if periodic else pk.kernel_type_for(kernel)
+        if ktype is None and not periodic:
             return None
-        ls = kernel.lengthscale  # (1, d) or (1, 1)
-        if ls.ndim != 2:
+        ls = kernel.lengthscale  # (*b, 1, d) or (*b, 1, 1)
+        if ls is None:
             return None
-        center = jax.lax.stop_gradient(jnp.mean(self.x1, axis=-2, keepdims=True))
-        x1s = (self.x1 - center) / ls
-        x2s = (self.x2 - center) / ls
-        out = pk.fused_kernel_matvec(x1s, x2s, rhs, ktype)
+
+        if self.batch_shape == () and rhs.ndim == 2 and ls.ndim == 2:
+            return self._fused_single(kernel, ktype, periodic, ls, self.x1, self.x2, rhs, outputscale)
+
+        # batched path: broadcast everything to the full batch and map the fused op
+        batch = self.batch_shape
+        if rhs.shape[:-2] != batch:
+            return None
+        d = self.x1.shape[-1]
+        x1 = jnp.broadcast_to(self.x1, batch + self.x1.shape[-2:]).reshape((-1,) + self.x1.shape[-2:])
+        x2 = jnp.broadcast_to(self.x2, batch + self.x2.shape[-2:]).reshape((-1,) + self.x2.shape[-2:])
+        ls_b = jnp.broadcast_to(ls, batch + (1, ls.shape[-1])).reshape((-1, 1, ls.shape[-1]))
+        rhs_b = rhs.reshape((-1,) + rhs.shape[-2:])
+        if periodic:
+            per = jnp.broadcast_to(kernel.period_length, batch + (1, kernel.period_length.shape[-1]))
+            per = per.reshape((-1, 1, kernel.period_length.shape[-1]))
+        os_b = None
+        if outputscale is not None:
+            os_b = jnp.broadcast_to(outputscale, batch).reshape((-1,))
+
+        def one(args):
+            if periodic:
+                x1i, x2i, lsi, ri, peri = args[:5]
+                out = pk.fused_periodic_matvec(x1i / peri, x2i / peri, 1.0 / (lsi[0] ** 2), ri)
+            else:
+                x1i, x2i, lsi, ri = args[:4]
+                center = jax.lax.stop_gradient(jnp.mean(x1i, axis=-2, keepdims=True))
+                out = pk.fused_kernel_matvec((x1i - center) / lsi, (x2i - center) / lsi, ri, ktype)
+            return out
+
+        args = (x1, x2, ls_b, rhs_b) + ((per,) if periodic else ())
+        outs = jax.lax.map(one, args)
+        if os_b is not None:
+            outs = outs * os_b[:, None, None]
+        return outs.reshape(batch + outs.shape[-2:])
+
+    def _fused_single(self, kernel, ktype, periodic, ls, x1, x2, rhs, outputscale):
+        from ..ops import pallas_kernels as pk
+
+        if periodic:
+            per = kernel.period_length
+            out = pk.fused_periodic_matvec(x1 / per, x2 / per, 1.0 / (ls[0] ** 2), rhs)
+        else:
+            center = jax.lax.stop_gradient(jnp.mean(x1, axis=-2, keepdims=True))
+            out = pk.fused_kernel_matvec((x1 - center) / ls, (x2 - center) / ls, rhs, ktype)
         if outputscale is not None:
             out = out * outputscale
         return out

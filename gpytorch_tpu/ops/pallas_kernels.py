@@ -32,6 +32,7 @@ RBF = 0
 MATERN05 = 1
 MATERN15 = 2
 MATERN25 = 3
+PERIODIC = 4  # reference KeOps parity: kernels/keops/periodic_kernel.py:24
 
 _BN = 512    # row tile
 _BM = 1024   # column tile
@@ -49,6 +50,8 @@ def _kernel_fn(d2, kernel_type: int):
         return (1.0 + s) * jnp.exp(-s)
     s = _SQRT5 * r
     return (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+
+
 
 
 def _kernel_prime(d2, kernel_type: int):
@@ -313,6 +316,131 @@ def _fkm_bwd(kernel_type, res, g):
 
 
 fused_kernel_matvec.defvjp(_fkm_fwd, _fkm_bwd)
+
+
+# ----------------------------------------------------------------------------------------
+# fused PERIODIC kernel matvec (KeOps parity: kernels/keops/periodic_kernel.py:24)
+#   K_ij = exp(−2 Σ_d w_d sin²(π (a_id − b_jd)))  with a = x1/period, w = 1/ℓ²
+# ----------------------------------------------------------------------------------------
+
+def _periodic_matvec_pallas(x1p, x2p, w, v):
+    from jax.experimental import pallas as pl
+
+    from .. import settings
+
+    if v.shape[1] > _MAX_T:
+        return jnp.concatenate(
+            [_periodic_matvec_pallas(x1p, x2p, w, v[:, i : i + _MAX_T]) for i in range(0, v.shape[1], _MAX_T)],
+            axis=1,
+        )
+    n, d = x1p.shape
+    m, t = v.shape
+    Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
+    Dp = max(_round_up(d, 8), 8)
+    Tp = _round_up(t, _LANE)
+    bf16 = bool(settings.kernel_matvec_bf16.on())
+    x1pp = _pad_to(_pad_to(x1p, Np, 0), Dp, 1)
+    x2pt = jnp.swapaxes(_pad_to(_pad_to(x2p, Mp, 0), Dp, 1), 0, 1)  # (Dp, Mp)
+    vp = _pad_to(_pad_to(v, Mp, 0), Tp, 1)
+    wp = jnp.broadcast_to(jnp.reshape(w, (-1,)), (d,)).astype(x1p.dtype)
+    wp_full = _pad_to(_pad_to(wp[None, :], 8, 0), Dp, 1)  # (8, Dp) SMEM-friendly tile
+
+    def kernel(x1_ref, x2t_ref, w_ref, v_ref, o_ref):
+        j = pl.program_id(1)
+        a = x1_ref[:]
+        bt = x2t_ref[:]
+        total = None
+        for k in range(d):
+            s = jnp.sin(jnp.pi * (a[:, k : k + 1] - bt[k : k + 1, :]))
+            term = w_ref[0, k] * (s * s)
+            total = term if total is None else total + term
+        kv = jnp.exp(-2.0 * total)
+        vv = v_ref[:]
+        if bf16:
+            kv = kv.astype(jnp.bfloat16)
+            vv = vv.astype(jnp.bfloat16)
+        else:
+            kv = kv.astype(vv.dtype)
+        pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = pv
+
+        @pl.when(j != 0)
+        def _():
+            o_ref[:] = o_ref[:] + pv
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Np // _BN, Mp // _BM),
+        in_specs=[
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)),
+            pl.BlockSpec((8, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+    )(x1pp, x2pt, wp_full, vp)
+    return out[:n, :t]
+
+
+def _periodic_matvec_reference(x1p, x2p, w, v):
+    diff = x1p[:, None, :] - x2p[None, :, :]
+    K = jnp.exp(-2.0 * jnp.sum(jnp.reshape(w, (-1,)) * jnp.sin(jnp.pi * diff) ** 2, axis=-1))
+    return jnp.matmul(K, v, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.custom_vjp
+def fused_periodic_matvec(x1p, x2p, w, v):
+    """out = K(x1p, x2p) @ v for the periodic kernel, streaming (never materializes K).
+
+    x1p/x2p: inputs pre-divided by the period; w: per-dim 1/ℓ² weights; v: (m, t)."""
+    if _use_pallas():
+        return _periodic_matvec_pallas(x1p, x2p, w, v)
+    return _periodic_matvec_reference(x1p, x2p, w, v)
+
+
+def _fpm_fwd(x1p, x2p, w, v):
+    return fused_periodic_matvec(x1p, x2p, w, v), (x1p, x2p, w, v)
+
+
+def _fpm_bwd(res, g):
+    """Streamed backward: row-chunked trig-moment passes (one training-step cost; the CG
+    hot loop only ever runs the forward)."""
+    x1p, x2p, w, v = res
+    wf = jnp.reshape(w, (-1,))
+    dv = fused_periodic_matvec(x2p, x1p, w, g)
+
+    chunk = 2048
+    n = x1p.shape[0]
+    pad = (-n) % chunk
+    x1c = jnp.pad(x1p, ((0, pad), (0, 0)))
+    gc = jnp.pad(g, ((0, pad), (0, 0)))
+
+    def block(i):
+        a = jax.lax.dynamic_slice_in_dim(x1c, i * chunk, chunk, axis=0)
+        gb = jax.lax.dynamic_slice_in_dim(gc, i * chunk, chunk, axis=0)
+        diff = a[:, None, :] - x2p[None, :, :]  # (c, m, d)
+        sin_pi = jnp.sin(jnp.pi * diff)
+        K = jnp.exp(-2.0 * jnp.sum(wf * sin_pi**2, axis=-1))  # (c, m)
+        G = K * (gb @ v.T)  # (c, m)
+        trig = jnp.sin(2.0 * jnp.pi * diff)  # (c, m, d)
+        dx1_blk = -2.0 * jnp.pi * wf * jnp.einsum("cm,cmd->cd", G, trig)
+        dx2_blk = 2.0 * jnp.pi * wf * jnp.einsum("cm,cmd->md", G, trig)
+        dw_blk = -2.0 * jnp.einsum("cm,cmd->d", G, sin_pi**2)
+        return dx1_blk, dx2_blk, dw_blk
+
+    num_chunks = x1c.shape[0] // chunk
+    dx1_blocks, dx2_sum, dw_sum = jax.lax.map(block, jnp.arange(num_chunks))
+    dx1 = dx1_blocks.reshape(-1, x1p.shape[-1])[:n]
+    dx2 = jnp.sum(dx2_sum, axis=0)
+    dw = jnp.sum(dw_sum, axis=0).reshape(jnp.shape(w))
+    return dx1, dx2, dw, dv
+
+
+fused_periodic_matvec.defvjp(_fpm_fwd, _fpm_bwd)
 
 
 def kernel_type_for(kernel) -> Optional[int]:
