@@ -90,15 +90,23 @@ def linear_cg(
     alphas0 = jnp.zeros((max(n_tridiag_iter, 1),) + batch_t, dtype=dt)
     betas0 = jnp.zeros((max(n_tridiag_iter, 1),) + batch_t, dtype=dt)
     converged0 = jnp.zeros(batch_t, dtype=bool)
+    # Stagnation tracking: with finite-precision (one-pass bf16) matvecs the residual
+    # bottoms out at the matvec noise floor and can then drift — keep the best iterate per
+    # column and stop once no column has improved for `stall_window` iterations.  This is
+    # what makes tolerance-based early exit actually fire on TPU.
+    stall_window = 10
+    best_resid0 = jnp.full(batch_t, jnp.inf, dtype=dt)
+    x_best0 = x0
+    since_improve0 = jnp.zeros((), dtype=jnp.int32)
 
     def cond(state):
-        k, x, r, z, p, rz, alphas, betas, conv = state
-        keep_going = jnp.logical_not(jnp.all(conv))
+        k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, since = state
+        keep_going = jnp.logical_and(jnp.logical_not(jnp.all(conv)), since < stall_window)
         # always run at least n_tridiag_iter iterations so the T matrices are complete
         return jnp.logical_or(k < n_tridiag_iter, jnp.logical_and(k < max_iter, keep_going))
 
     def body(state):
-        k, x, r, z, p, rz, alphas, betas, conv = state
+        k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, since = state
         Ap = matmul_fn(p)
         pAp = _reduce_sum(p * Ap, -2)  # (..., t)
         safe_pAp = jnp.where(jnp.abs(pAp) < eps, jnp.ones_like(pAp), pAp)
@@ -110,6 +118,11 @@ def linear_cg(
         r = r - alpha[..., None, :] * Ap
         resid = _col_norm(r)
         conv_new = jnp.logical_or(conv, resid < tolerance)
+
+        improved = resid < best_resid
+        x_best = jnp.where(improved[..., None, :], x, x_best)
+        best_resid = jnp.minimum(best_resid, resid)
+        since = jnp.where(jnp.any(improved), jnp.zeros_like(since), since + 1)
 
         z = precond_fn(r)
         rz_new = _reduce_sum(r * z, -2)
@@ -130,28 +143,29 @@ def linear_cg(
             betas = jax.lax.dynamic_update_index_in_dim(
                 betas, jnp.where(store, beta_store, betas[jnp.minimum(k, n_tridiag_iter - 1)]), jnp.minimum(k, n_tridiag_iter - 1), axis=0
             )
-        return (k + 1, x, r, z, p, rz_new, alphas, betas, conv_new)
+        return (k + 1, x, r, z, p, rz_new, alphas, betas, conv_new, best_resid, x_best, since)
 
-    state0 = (jnp.asarray(0, dtype=jnp.int32), x0, r0, z0, p0, rz0, alphas0, betas0, converged0)
-    k, x, r, z, p, rz, alphas, betas, conv = jax.lax.while_loop(cond, body, state0)
+    state0 = (
+        jnp.asarray(0, dtype=jnp.int32), x0, r0, z0, p0, rz0, alphas0, betas0, converged0,
+        best_resid0, x_best0, since_improve0,
+    )
+    k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, _ = jax.lax.while_loop(cond, body, state0)
 
-    solution = x * rhs_norm
+    solution = x_best * rhs_norm
     solution = jnp.where(rhs_is_zero, jnp.zeros_like(solution), solution)
     if settings.verbose_linalg.on():
         # jit-compatible runtime observability: iteration count + residual summary per solve
         # (the reference's verbose_linalg logs every linalg call; SURVEY §5 asks for CG stats)
-        resid = _col_norm(r)
-
         def _log(num_iters, max_resid, mean_resid):
             settings.logger.info(
                 "linear_cg: rhs %s, max_iter %d, tol %.2e -> %d iters, residual max %.3e mean %.3e",
                 rhs.shape, max_iter, tolerance, int(num_iters), float(max_resid), float(mean_resid),
             )
 
-        jax.debug.callback(_log, k, jnp.max(resid), jnp.mean(resid))
+        jax.debug.callback(_log, k, jnp.max(best_resid), jnp.mean(best_resid))
     if n_tridiag_iter > 0:
-        return CGResult(solution, alphas[:n_tridiag_iter], betas[:n_tridiag_iter], k, _col_norm(r))
-    return CGResult(solution, None, None, k, _col_norm(r))
+        return CGResult(solution, alphas[:n_tridiag_iter], betas[:n_tridiag_iter], k, best_resid)
+    return CGResult(solution, None, None, k, best_resid)
 
 
 def tridiag_from_coeffs(alphas: jax.Array, betas: jax.Array) -> jax.Array:
