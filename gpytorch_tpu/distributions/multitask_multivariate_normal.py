@@ -67,8 +67,8 @@ class MultitaskMultivariateNormal(MultivariateNormal):
         diag = jnp.where(diag < min_var, jnp.full_like(diag, min_var), diag)
         return self._flat_to_task(diag)
 
-    def log_prob(self, value: jax.Array, key=None) -> jax.Array:
-        return super().log_prob(self._task_to_flat(value), key=key)
+    def log_prob(self, value: jax.Array, key=None, solver_config=None) -> jax.Array:
+        return super().log_prob(self._task_to_flat(value), key=key, solver_config=solver_config)
 
     def rsample(self, key, sample_shape=()):
         flat = MultivariateNormal(self.loc, self._covar).rsample(key, sample_shape)

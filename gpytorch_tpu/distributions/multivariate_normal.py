@@ -68,11 +68,13 @@ class MultivariateNormal(Distribution):
         return self.loc.dtype
 
     # -- densities ---------------------------------------------------------------------------
-    def log_prob(self, value: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
+    def log_prob(self, value: jax.Array, key: Optional[jax.Array] = None, solver_config=None) -> jax.Array:
         """Reference: multivariate_normal.py:221-252 → one inv_quad_logdet call (mBCG).
 
         ``key`` seeds the SLQ probe vectors; pass a fresh key per optimizer step inside a
         jitted training loop (otherwise probes are frozen at trace time).
+        ``solver_config``: explicit hashable settings.SolverConfig overriding the ambient
+        context settings for the solver knobs (jit-safe side channel).
         """
         if settings.fast_computations.log_prob.off():
             return self._log_prob_cholesky(value)
@@ -82,7 +84,9 @@ class MultivariateNormal(Distribution):
             # broadcast sample dims: fold extra dims into columns where possible
             target = jnp.broadcast_shapes(diff.shape[:-1], self.batch_shape)
             diff = jnp.broadcast_to(diff, target + diff.shape[-1:])
-        inv_quad, logdet = covar.inv_quad_logdet(inv_quad_rhs=diff[..., None], logdet=True, key=key)
+        inv_quad, logdet = covar.inv_quad_logdet(
+            inv_quad_rhs=diff[..., None], logdet=True, key=key, config=solver_config
+        )
         # Use the covariance's (global) size rather than the local event shape: under a
         # row-sharded operator the loc holds only this device's block while the operator
         # reports the global N (distributed/sharded.py).

@@ -319,6 +319,7 @@ class LinearOperator(DictPyTree):
         logdet: bool = False,
         reduce_inv_quad: bool = True,
         key: Optional[Array] = None,
+        config=None,
     ) -> Tuple[Optional[Array], Optional[Array]]:
         """Compute (rhsᵀ self⁻¹ rhs, log|self|) in one pass — the BBMM hot path.
 
@@ -344,7 +345,8 @@ class LinearOperator(DictPyTree):
         from ..solvers.inv_quad import inv_quad_logdet_mbcg
 
         return inv_quad_logdet_mbcg(
-            self.evaluate_kernel(), inv_quad_rhs, logdet=logdet, reduce_inv_quad=reduce_inv_quad, key=key
+            self.evaluate_kernel(), inv_quad_rhs, logdet=logdet, reduce_inv_quad=reduce_inv_quad,
+            key=key, config=config,
         )
 
     def logdet(self) -> Array:

@@ -34,18 +34,19 @@ class ExactMarginalLogLikelihood(MarginalLogLikelihood):
             res = res + lik_prior
         return res
 
-    def forward(self, function_dist: MultivariateNormal, target, *params, key=None, **kwargs):
+    def forward(self, function_dist: MultivariateNormal, target, *params, key=None, solver_config=None, **kwargs):
         """Reference :54-89; ``observation_nan_policy`` ∈ {ignore, mask, fill} (:71-81).
 
         ``key`` seeds the SLQ probe vectors (fresh stochastic-trace probes each step); thread
-        a per-step key through jitted training loops.
+        a per-step key through jitted training loops.  ``solver_config``: explicit
+        ``settings.SolverConfig`` snapshot overriding ambient solver settings under jit.
         """
         if not isinstance(function_dist, MultivariateNormal):
             raise RuntimeError("ExactMarginalLogLikelihood requires an MVN model output")
         nan_policy = settings.observation_nan_policy.value()
         output = self.likelihood(function_dist, *params, **kwargs)
         if nan_policy == "ignore":
-            res = output.log_prob(target, key=key)
+            res = output.log_prob(target, key=key, solver_config=solver_config)
         elif nan_policy == "mask":
             from ..linop import MaskedLinearOperator
 
@@ -53,14 +54,14 @@ class ExactMarginalLogLikelihood(MarginalLogLikelihood):
             covar = MaskedLinearOperator(output.lazy_covariance_matrix.evaluate_kernel(), mask)
             masked_target = jnp.where(mask, target, output.mean)
             mvn = MultivariateNormal(jnp.where(mask, output.mean, masked_target), covar)
-            res = mvn.log_prob(jnp.where(mask, target, output.mean), key=key)
+            res = mvn.log_prob(jnp.where(mask, target, output.mean), key=key, solver_config=solver_config)
             # correct the constant term: identity-padded dims each add ½log(2π)
             num_masked = jnp.sum(~mask, axis=-1)
             res = res + 0.5 * num_masked * jnp.log(2 * jnp.pi)
         elif nan_policy == "fill":
             mask = ~jnp.isnan(target)
             filled = jnp.where(mask, target, output.mean)
-            res = output.log_prob(filled, key=key)
+            res = output.log_prob(filled, key=key, solver_config=solver_config)
         else:
             raise ValueError(f"unknown observation_nan_policy {nan_policy!r}")
         res = self._add_other_terms(res, params)

@@ -202,6 +202,13 @@ class terminate_cg_by_size(_feature_flag):
     _default = False
 
 
+class cg_stall_window(_value_context):
+    """Stop CG after this many iterations without residual improvement (TPU-specific:
+    one-pass matmul rounding gives a residual noise floor that tolerance exits never
+    cross).  Raise for tight-tolerance evaluation solves on ill-conditioned systems."""
+    _global_value = 10
+
+
 class tridiagonal_jitter(_value_context):
     _global_value = 1e-6
 

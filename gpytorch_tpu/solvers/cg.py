@@ -94,7 +94,7 @@ def linear_cg(
     # bottoms out at the matvec noise floor and can then drift — keep the best iterate per
     # column and stop once no column has improved for `stall_window` iterations.  This is
     # what makes tolerance-based early exit actually fire on TPU.
-    stall_window = 10
+    stall_window = int(settings.cg_stall_window.value())
     best_resid0 = jnp.full(batch_t, jnp.inf, dtype=dt)
     x_best0 = x0
     since_improve0 = jnp.zeros((), dtype=jnp.int32)

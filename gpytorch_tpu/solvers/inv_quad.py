@@ -50,8 +50,8 @@ class _IQConfig:
 _PROBE_COUNTER = [0]
 
 
-def _resolve_probe_key(key: Optional[jax.Array]) -> jax.Array:
-    if settings.deterministic_probes.on():
+def _resolve_probe_key(key: Optional[jax.Array], deterministic: Optional[bool] = None) -> jax.Array:
+    if deterministic if deterministic is not None else settings.deterministic_probes.on():
         # Opt-in variance-reduction mode (reference: linear_operator settings.deterministic_probes):
         # identical probes every call → deterministic-but-biased logdet gradients.
         return jax.random.PRNGKey(0)
@@ -69,24 +69,31 @@ def inv_quad_logdet_mbcg(
     logdet: bool = False,
     reduce_inv_quad: bool = True,
     key: Optional[jax.Array] = None,
+    config: Optional["settings.SolverConfig"] = None,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
+    """``config``: an explicit hashable :class:`settings.SolverConfig` (from
+    ``settings.snapshot()``) overriding the ambient context-manager settings for the
+    CG/SLQ knobs.  Use it as the static side-channel when jitting the same function under
+    multiple solver configurations — global context state is only read at trace time and a
+    cached executable silently ignores later context changes."""
     has_rhs = inv_quad_rhs is not None
+    sc = config if config is not None else settings.snapshot()
     cfg = _IQConfig(
         has_rhs=has_rhs,
         logdet=bool(logdet),
         reduce_inv_quad=bool(reduce_inv_quad),
-        num_probes=int(settings.num_trace_samples.value()),
-        n_tridiag_iter=int(settings.max_lanczos_quadrature_iterations.value()),
-        max_iter=int(settings.max_cg_iterations.value()),
-        tolerance=float(settings.cg_tolerance.value()),
-        skip_logdet_forward=bool(settings.skip_logdet_forward.on()),
+        num_probes=int(sc.num_trace_samples),
+        n_tridiag_iter=int(sc.max_lanczos_quadrature_iterations),
+        max_iter=int(sc.max_cg_iterations),
+        tolerance=float(sc.cg_tolerance),
+        skip_logdet_forward=bool(sc.skip_logdet_forward),
     )
     n = linop.shape[-1]
     if has_rhs:
         rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]
     else:
         rhs = jnp.zeros(linop.batch_shape + (n, 1), dtype=linop.dtype)
-    iq, ld = _mbcg_iq_logdet(cfg, linop, rhs, _resolve_probe_key(key))
+    iq, ld = _mbcg_iq_logdet(cfg, linop, rhs, _resolve_probe_key(key, sc.deterministic_probes if config is not None else None))
     if has_rhs and inv_quad_rhs.ndim == 1 and not reduce_inv_quad:
         iq = iq[..., 0]
     return (iq if has_rhs else None), (ld if logdet else None)
