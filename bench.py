@@ -80,14 +80,17 @@ def main():
         def forward(self, x):
             return MultivariateNormal(self.mean_module(x), self.covar_module(x))
 
-    lik = GaussianLikelihood()
+    # Noise floor ~the true noise level (standardized targets: σ²≈4e-3).  Without it the
+    # tolerance-truncated CG underestimates yᵀK̂⁻¹y, the optimizer collapses noise and
+    # outputscale, conditioning explodes, and RMSE/NLL degrade (0.34/11.5 vs 0.09/−0.9).
+    lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(3e-3))
     model = Model(train_x, train_y, lik)
     model.likelihood.noise = 0.1
     model.covar_module.base_kernel.lengthscale = 0.5
     params = model.trainable_params()
 
     def make_step(use_pallas: bool, tx, ty):
-        opt = optax.adam(0.05)
+        opt = optax.adam(0.1)
 
         def loss_fn(p, k):
             m = model.with_params(p)
@@ -126,9 +129,10 @@ def main():
     times.sort()
     s_per_iter = times[len(times) // 2]  # median
 
-    # more steps for quality before eval (total budget ~25 iters, matching the reference
-    # KeOps notebook's Adam-25 schedule)
-    for _ in range(16):
+    # more steps for quality before eval (total budget 40 Adam iters at lr 0.1 — the
+    # stagnation-exit speedup buys a bigger optimization budget than the reference
+    # notebook's 25)
+    for _ in range(31):
         pkey, sub = jax.random.split(pkey)
         p, s, loss = step(p, s, sub)
     _sync(loss)
@@ -142,6 +146,7 @@ def main():
     final = final.eval()
     with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
          gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(0), \
+         gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
          gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(100), \
          gp.settings.skip_posterior_variances(False):
         pred = final.likelihood(final(test_x))
