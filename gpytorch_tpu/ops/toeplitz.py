@@ -22,9 +22,9 @@ def sym_toeplitz_matmul(column: jax.Array, rhs: jax.Array) -> jax.Array:
     # circulant first column: [c_0 .. c_{n-1}, 0, c_{n-1} .. c_1], length 2n
     zero = jnp.zeros(column.shape[:-1] + (1,), dtype=column.dtype)
     c_circ = jnp.concatenate([column, zero, jnp.flip(column[..., 1:], axis=-1)], axis=-1)  # (..., 2n)
-    fft_c = jnp.fft.rfft(c_circ.astype(jnp.float32), axis=-1)  # (..., n+1)
+    fft_c = jnp.fft.rfft(c_circ, axis=-1)  # (..., n+1); preserves f64 on CPU tests
     rhs_pad = jnp.concatenate([rhs, jnp.zeros_like(rhs)], axis=-2)  # (..., 2n, k)
-    fft_rhs = jnp.fft.rfft(rhs_pad.astype(jnp.float32), axis=-2)
+    fft_rhs = jnp.fft.rfft(rhs_pad, axis=-2)
     prod = fft_c[..., :, None] * fft_rhs
     out = jnp.fft.irfft(prod, n=2 * n, axis=-2)[..., :n, :]
     out = out.astype(rhs.dtype)
