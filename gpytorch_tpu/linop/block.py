@@ -71,12 +71,12 @@ class BlockDiagLinearOperator(LinearOperator):
             res = lhs @ res
         return res[..., 0] if squeeze else res
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         rhs_b = None
         if inv_quad_rhs is not None:
             rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]
             rhs_b = self._blockify(rhs)
-        iq_b, ld_b = self.base.inv_quad_logdet(rhs_b, logdet=logdet, reduce_inv_quad=reduce_inv_quad, key=key)
+        iq_b, ld_b = self.base.inv_quad_logdet(rhs_b, logdet=logdet, reduce_inv_quad=reduce_inv_quad, key=key, config=config)
         ld = jnp.sum(ld_b, axis=-1) if ld_b is not None else None
         iq = jnp.sum(iq_b, axis=-1) if iq_b is not None else None
         return iq, ld

@@ -89,7 +89,7 @@ class DiagLinearOperator(LinearOperator):
             res = lhs @ res
         return res
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         logdet_term = jnp.sum(jnp.log(self.diag), axis=-1) if logdet else None
         iq = None
         if inv_quad_rhs is not None:

@@ -122,7 +122,7 @@ class KroneckerProductLinearOperator(LinearOperator):
             res = lhs @ res
         return res[..., 0] if squeeze else res
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:
@@ -244,7 +244,7 @@ class KroneckerProductAddedDiagLinearOperator(LinearOperator):
         _, lam = self._eigs()
         return jnp.sum(jnp.log(lam + self.const_diag), axis=-1)
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:

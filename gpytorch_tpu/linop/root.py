@@ -122,7 +122,7 @@ class LowRankRootAddedDiagLinearOperator(LinearOperator):
         cap_logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
         return cap_logdet + self.diag_op.logdet()
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:

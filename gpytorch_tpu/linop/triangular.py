@@ -53,7 +53,7 @@ class TriangularLinearOperator(LinearOperator):
     def logdet(self):
         return jnp.sum(jnp.log(jnp.abs(self._diagonal())), axis=-1)
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:
@@ -114,7 +114,7 @@ class CholLinearOperator(LinearOperator):
         # Cholesky parameters whose diagonal may go negative during optimization.
         return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(self.L, axis1=-2, axis2=-1)) + 1e-20), axis=-1)
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:
