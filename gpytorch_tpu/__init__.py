@@ -9,6 +9,7 @@ The functional façade below mirrors gpytorch/__init__.py:34-283.
 
 from __future__ import annotations
 
+from . import beta_features  # noqa: F401
 from . import (
     constraints,
     distributions,
