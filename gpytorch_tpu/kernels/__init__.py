@@ -70,3 +70,14 @@ __all__ = [
     "SpectralDeltaKernel",
     "SpectralMixtureKernel",
 ]
+
+
+def __getattr__(name):
+    if name == "MultiDeviceKernel":
+        # reference kernels/multi_device_kernel.py:14 (torch DataParallel scatter/gather);
+        # the TPU-native equivalent is the mesh-sharded collective kernel (lazy import to
+        # avoid a circular kernels <-> distributed dependency)
+        from ..distributed import ShardedKernel
+
+        return ShardedKernel
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
