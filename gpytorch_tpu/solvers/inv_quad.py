@@ -203,19 +203,25 @@ def _mbcg_bwd(cfg, residuals, g):
         return jax.lax.psum(s, axis) if axis is not None else s
 
     def scalar_fn(lo):
+        # ONE streaming matvec pass over the concatenated right-hand sides — the kernel
+        # tile (distances + elementwise) is recomputed once instead of once per term
         total = jnp.zeros((), dtype=rhs.dtype)
+        t_rhs = s_rhs.shape[-1] if cfg.has_rhs else 0
+        cols = []
+        if cfg.has_rhs:
+            cols.append(jax.lax.stop_gradient(s_rhs))
+        if cfg.logdet:
+            cols.append(jax.lax.stop_gradient(Pinv_probes))
+        K_all = lo._matmul(jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0])
         if cfg.has_rhs:
             s = jax.lax.stop_gradient(s_rhs)
-            Ks = lo._matmul(s)
-            quad = _rowsum(s * Ks)  # (*batch, t)
+            quad = _rowsum(s * K_all[..., :t_rhs])  # (*batch, t)
             if cfg.reduce_inv_quad:
                 quad = jnp.sum(quad, axis=-1)  # (*batch,)
             total = total - jnp.sum(g_iq * quad)
         if cfg.logdet:
             sp = jax.lax.stop_gradient(s_probe)
-            pz = jax.lax.stop_gradient(Pinv_probes)
-            Kpz = lo._matmul(pz)
-            est = _rowsum(sp * Kpz)  # (*batch, t)
+            est = _rowsum(sp * K_all[..., t_rhs:])  # (*batch, t)
             est = jnp.mean(jax.lax.stop_gradient(norms[..., 0, :]) ** 2 * est, axis=-1)  # (*batch,)
             total = total + jnp.sum(g_ld * est)
         return total

@@ -30,12 +30,16 @@ class BaseMeanTestCase(BaseTestCase):
 
     def test_forward_mat_batch(self):
         mean = self.create_mean()
-        x = self.randn(3, 4, self.input_dims)
-        lead = tuple(jnp.broadcast_shapes(self.batch_shape or (), (3,)))
+        # batched means require a broadcast-compatible data batch (reference
+        # base_mean_test_case.py:35 uses the mean's own batch shape)
+        batch = tuple(self.batch_shape) if self.batch_shape else (3,)
+        x = self.randn(*batch, 4, self.input_dims)
+        lead = tuple(jnp.broadcast_shapes(self.batch_shape or (), batch))
         assert mean(x).shape == self._out_shape(*lead, n=4)
 
     def test_forward_mat_multi_batch(self):
         mean = self.create_mean()
-        x = self.randn(2, 3, 4, self.input_dims)
-        lead = tuple(jnp.broadcast_shapes(self.batch_shape or (), (2, 3)))
+        batch = (2,) + tuple(self.batch_shape) if self.batch_shape else (2, 3)
+        x = self.randn(*batch, 4, self.input_dims)
+        lead = tuple(jnp.broadcast_shapes(self.batch_shape or (), batch))
         assert mean(x).shape == self._out_shape(*lead, n=4)
