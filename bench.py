@@ -66,7 +66,10 @@ def main():
         + 0.5 * jnp.sin(7 * all_x[:, 2] * all_x[:, 0])
         + 0.1 * all_x[:, 2]
     )
-    all_y = f + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N + N_TEST,), dtype=jnp.float32)
+    # σ=0.1 observation noise: keeps K̂'s conditioning in the f32-solvable regime so the
+    # recorded RMSE/NLL are stable run-to-run (σ=0.05 put the MLL optimum on a knife edge
+    # where probe-seed noise flipped trajectories between basins)
+    all_y = f + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (N + N_TEST,), dtype=jnp.float32)
     all_y = (all_y - jnp.mean(all_y)) / jnp.std(all_y)
     train_x, train_y = all_x[:N], all_y[:N]
     test_x, test_y = all_x[N:], all_y[N:]
@@ -80,9 +83,9 @@ def main():
         def forward(self, x):
             return MultivariateNormal(self.mean_module(x), self.covar_module(x))
 
-    # Noise floor ~the true noise level (standardized targets: σ²≈4e-3).  Without it the
-    # tolerance-truncated CG underestimates yᵀK̂⁻¹y, the optimizer collapses noise and
-    # outputscale, conditioning explodes, and RMSE/NLL degrade (0.34/11.5 vs 0.09/−0.9).
+    # Noise floor below the true level (standardized targets: σ²≈1.7e-2).  Without a floor
+    # the tolerance-truncated CG underestimates yᵀK̂⁻¹y and the optimizer can collapse the
+    # noise, exploding the conditioning.
     lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(3e-3))
     model = Model(train_x, train_y, lik)
     model.likelihood.noise = 0.1

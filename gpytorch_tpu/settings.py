@@ -209,6 +209,16 @@ class cg_stall_window(_value_context):
     _global_value = 10
 
 
+class solve_iterative_refinements(_value_context):
+    """Iterative-refinement passes after each CG solve: x ← x + CG(A, b − A x).
+
+    The TPU substitute for the reference's f64 promotion (settings.linalg_dtypes):
+    each pass re-solves against an accurately-computed residual, recovering digits the
+    f32 Krylov recursion loses on ill-conditioned (small-noise, large-N) systems.
+    Costs one extra CG per pass — enable for posterior evaluation."""
+    _global_value = 0
+
+
 class tridiagonal_jitter(_value_context):
     _global_value = 1e-6
 

@@ -204,7 +204,14 @@ def _cg_solve_fwd_impl(linop, rhs, tol):
     precond_fn, _, _ = linop._preconditioner()
     tolerance = None if tol < 0 else tol
     result = linear_cg(lambda v: linop._matmul(v), rhs, precond_fn=precond_fn, tolerance=tolerance)
-    return result.solution
+    x = result.solution
+    # iterative refinement (TPU substitute for the reference's f64 promotion): re-solve
+    # against the true residual to recover digits lost to the f32 Krylov recursion
+    for _ in range(int(settings.solve_iterative_refinements.value())):
+        r = rhs - linop._matmul(x)
+        corr = linear_cg(lambda v: linop._matmul(v), r, precond_fn=precond_fn, tolerance=tolerance)
+        x = x + corr.solution
+    return x
 
 
 from functools import partial

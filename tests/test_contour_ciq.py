@@ -68,3 +68,25 @@ def test_sqrt_inv_matmul_gradients_finite():
     rhs = jax.random.normal(jax.random.PRNGKey(0), (25, 2))
     g = jax.grad(lambda K: jnp.sum(sqrt_inv_matmul(DenseLinearOperator(K), rhs)))(K)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_solve_iterative_refinement_improves_ill_conditioned():
+    """settings.solve_iterative_refinements — the TPU substitute for the reference's f64
+    promotion (linalg_dtypes): each pass re-solves against the true residual."""
+    import gpytorch_tpu as gp
+    from gpytorch_tpu.solvers.cg import linear_solve_cg
+
+    n = 300
+    Z = jnp.linspace(0, 1, n)[:, None]
+    K = RBFKernel()(Z, Z).to_dense() + 1e-6 * jnp.eye(n)  # ill-conditioned small-noise system
+    rhs = jax.random.normal(jax.random.PRNGKey(0), (n, 1))
+    truth = jnp.linalg.solve(K, rhs)
+
+    with gp.settings.max_cg_iterations(60), gp.settings.cg_tolerance(1e-10), gp.settings.cg_stall_window(5):
+        base = linear_solve_cg(DenseLinearOperator(K), rhs)
+        with gp.settings.solve_iterative_refinements(2):
+            refined = linear_solve_cg(DenseLinearOperator(K), rhs)
+    err_base = float(jnp.linalg.norm(K @ base - rhs))
+    err_ref = float(jnp.linalg.norm(K @ refined - rhs))
+    assert err_ref <= err_base * 1.01, (err_base, err_ref)
+    assert jnp.all(jnp.isfinite(refined))
