@@ -145,8 +145,14 @@ def test_ring_exchange_matches_all_gather(ard_setup):
     with _solver_ctx():
         ring = make_sharded_mll(mesh, ring_model)(params, x, y, key=jax.random.PRNGKey(0))
         gathered = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
-    # identical probes/trajectory; only the block-summation order differs
-    np.testing.assert_allclose(float(ring), float(gathered), rtol=1e-5)
+        # identical probes/trajectory; only the block-summation order differs
+        np.testing.assert_allclose(float(ring), float(gathered), rtol=1e-5)
+        # gradients flow through the ppermute ring (transpose = reverse permute)
+        g_ring = jax.grad(lambda p: -make_sharded_mll(mesh, ring_model)(p, x, y, key=jax.random.PRNGKey(0)))(params)
+        g_gather = jax.grad(lambda p: -make_sharded_mll(mesh, model)(p, x, y, key=jax.random.PRNGKey(0)))(params)
+    for k in g_ring:
+        np.testing.assert_allclose(np.asarray(g_ring[k]), np.asarray(g_gather[k]), atol=1e-6,
+                                   err_msg=f"ring grad mismatch for {k}")
 
 
 class _MTModel(ExactGP):
