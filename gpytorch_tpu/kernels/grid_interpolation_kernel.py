@@ -75,7 +75,11 @@ class GridInterpolationKernel(GridKernel):
             idxs = []
             vals = []
             for dd in range(d):
-                i, v = Interpolation().interpolate([self.grid[dd]], inputs[..., dd, :, :])
+                # a 1-d grid kernel used through AdditiveStructureKernel (SKIP) applies its
+                # single grid to EVERY input dimension (reference grid_interpolation_kernel
+                # forward with last_dim_is_batch)
+                grid_d = self.grid[dd] if dd < len(self.grid) else self.grid[0]
+                i, v = Interpolation().interpolate([grid_d], inputs[..., dd, :, :])
                 idxs.append(i)
                 vals.append(v)
             return jnp.stack(idxs, axis=-3), jnp.stack(vals, axis=-3)

@@ -224,3 +224,40 @@ def test_lcm_multitask_regression():
     pred = model.likelihood(model(x))
     mae = float(jnp.mean(jnp.abs(pred.mean - y)))
     assert mae < 0.15, f"LCM MAE {mae}"
+
+
+def test_skip_additive_kissgp_regression():
+    """SKIP config (reference test/examples/test_kissgp_additive_regression pattern):
+    AdditiveStructureKernel over a 1-d GridInterpolationKernel for a 2-d additive target."""
+    from gpytorch_tpu.kernels import AdditiveStructureKernel, GridInterpolationKernel
+
+    key = jax.random.PRNGKey(0)
+    n = 128
+    x = jax.random.uniform(key, (n, 2))
+    y = jnp.sin(2 * jnp.pi * x[:, 0]) + jnp.cos(2 * jnp.pi * x[:, 1])
+    y = y + 0.03 * jax.random.normal(jax.random.PRNGKey(1), (n,))
+
+    class SKIPGP(ExactGP):
+        def __init__(self, tx, ty, lik):
+            super().__init__(tx, ty, lik)
+            self.mean_module = ConstantMean()
+            self.covar_module = ScaleKernel(
+                AdditiveStructureKernel(
+                    GridInterpolationKernel(RBFKernel(), grid_size=64, num_dims=1,
+                                            grid_bounds=[(-0.1, 1.1)]),
+                    num_dims=2,
+                )
+            )
+
+        def forward(self, xx):
+            return MultivariateNormal(self.mean_module(xx), self.covar_module(xx))
+
+    model = SKIPGP(x, y, GaussianLikelihood())
+    model, loss = _train(model, x, y, iters=60)
+    assert np.isfinite(loss)
+    model = model.eval()
+    test_x = jax.random.uniform(jax.random.PRNGKey(2), (32, 2), minval=0.05, maxval=0.95)
+    pred = model.likelihood(model(test_x))
+    truth = jnp.sin(2 * jnp.pi * test_x[:, 0]) + jnp.cos(2 * jnp.pi * test_x[:, 1])
+    mae = float(jnp.mean(jnp.abs(pred.mean - truth)))
+    assert mae < 0.15, f"SKIP MAE {mae}"
