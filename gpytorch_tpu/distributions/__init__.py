@@ -1,3 +1,4 @@
+from . import normal as base_distributions  # reference distributions/__init__.py:11-17
 from .delta import Delta
 from .distribution import Distribution
 from .multitask_multivariate_normal import MultitaskMultivariateNormal
@@ -20,6 +21,7 @@ from .normal import (
 
 __all__ = [
     "Bernoulli",
+    "base_distributions",
     "Beta",
     "Categorical",
     "Delta",

@@ -73,6 +73,13 @@ __all__ = [
 
 
 def __getattr__(name):
+    if name == "keops":
+        # reference kernels/keops/ (C++/CUDA streaming matvecs); here the fused Pallas
+        # path is the default, so these are aliases (lazy import keeps startup cheap;
+        # importlib avoids `from . import` re-entering this __getattr__)
+        import importlib
+
+        return importlib.import_module(".keops", __name__)
     if name == "MultiDeviceKernel":
         # reference kernels/multi_device_kernel.py:14 (torch DataParallel scatter/gather);
         # the TPU-native equivalent is the mesh-sharded collective kernel (lazy import to

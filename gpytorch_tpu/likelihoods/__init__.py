@@ -7,7 +7,7 @@ from .gaussian_likelihood import (
     HadamardGaussianLikelihood,
     _GaussianLikelihoodBase,
 )
-from .multitask_gaussian_likelihood import MultitaskGaussianLikelihood
+from .multitask_gaussian_likelihood import MultitaskGaussianLikelihood, _MultitaskGaussianLikelihoodBase
 from .non_gaussian import (
     BernoulliLikelihood,
     BetaLikelihood,
@@ -45,6 +45,7 @@ __all__ = [
     "Likelihood",
     "LikelihoodList",
     "MultitaskGaussianLikelihood",
+    "_MultitaskGaussianLikelihoodBase",
     "MultitaskHomoskedasticNoise",
     "_GaussianLikelihoodBase",
     "_OneDimensionalLikelihood",

@@ -22,7 +22,12 @@ from ..linop import (
 from .likelihood import Likelihood
 
 
-class MultitaskGaussianLikelihood(Likelihood):
+class _MultitaskGaussianLikelihoodBase(Likelihood):
+    """Base marker for multitask Gaussian likelihoods (reference:
+    multitask_gaussian_likelihood.py:24) — downstream code isinstance-checks this name."""
+
+
+class MultitaskGaussianLikelihood(_MultitaskGaussianLikelihoodBase):
     def __init__(
         self,
         num_tasks: int,

@@ -12,7 +12,25 @@ from .gplvm import (
 from .model_list import AbstractModelList, IndependentModelList
 from .pyro import NumPyroGP, PyroGP, load_from_samples_tree, sample_from_prior_tree
 
+# deprecated aliases (reference models/__init__.py:15-31)
+VariationalGP = ApproximateGP
+
+
+class AbstractVariationalGP(ApproximateGP):
+    def __init__(self, *args, **kwargs):
+        import warnings
+
+        warnings.warn("AbstractVariationalGP has been renamed to ApproximateGP.", DeprecationWarning)
+        super().__init__(*args, **kwargs)
+
+
 __all__ = [
+    "AbstractVariationalGP",
+    "VariationalGP",
+    "deep_gps",
+    "exact_prediction_strategies",
+    "gplvm",
+    "pyro",
     "AbstractModelList",
     "ApproximateGP",
     "BayesianGPLVM",

@@ -1,5 +1,6 @@
-from . import errors, grid, transforms, warnings
+from . import deprecation, errors, generic, grid, interpolation, quadrature, transforms, warnings
 from .interpolation import Interpolation, left_interp, left_t_interp
+from .memoize import cached, clear_cache_hook, pop_from_cache
 from .nearest_neighbors import NNUtil
 from .quadrature import GaussHermiteQuadrature1D
 from .sum_interaction_terms import sum_interaction_terms
@@ -9,12 +10,19 @@ __all__ = [
     "GaussHermiteQuadrature1D",
     "NNUtil",
     "Interpolation",
+    "cached",
+    "clear_cache_hook",
+    "deprecation",
     "errors",
+    "generic",
     "grid",
+    "interpolation",
     "left_interp",
     "inv_sigmoid",
     "inv_softplus",
     "left_t_interp",
+    "pop_from_cache",
+    "quadrature",
     "sum_interaction_terms",
     "transforms",
     "warnings",

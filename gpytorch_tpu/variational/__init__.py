@@ -6,6 +6,7 @@ from ._variational_distribution import (
 )
 from ._variational_strategy import _VariationalStrategy
 from .natural_variational_distribution import (
+    _NaturalVariationalDistribution,
     NaturalVariationalDistribution,
     TrilNaturalVariationalDistribution,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "MultitaskVariationalStrategy",
     "NNVariationalStrategy",
     "NaturalVariationalDistribution",
+    "_NaturalVariationalDistribution",
     "OrthogonallyDecoupledVariationalStrategy",
     "TrilNaturalVariationalDistribution",
     "UnwhitenedVariationalStrategy",

@@ -54,7 +54,14 @@ def _nat_bwd(res, cotangents):
 _natural_to_mu_sigma.defvjp(_nat_fwd, _nat_bwd)
 
 
-class NaturalVariationalDistribution(_VariationalDistribution):
+class _NaturalVariationalDistribution(_VariationalDistribution):
+    """Marker base for natural-coordinate variational distributions (reference:
+    natural_variational_distribution.py:15).  NGD-style optimizers and downstream
+    libraries use an isinstance check against this class to detect that the parameters
+    are natural coordinates."""
+
+
+class NaturalVariationalDistribution(_NaturalVariationalDistribution):
     """Reference: natural_variational_distribution.py:21."""
 
     def __init__(self, num_inducing_points: int, batch_shape=(), mean_init_std: float = 1e-3, dtype=jnp.float32):
@@ -86,7 +93,7 @@ class NaturalVariationalDistribution(_VariationalDistribution):
         self.natural_mat = jnp.broadcast_to(nat_mat, self.natural_mat.shape).astype(self.natural_mat.dtype)
 
 
-class TrilNaturalVariationalDistribution(_VariationalDistribution):
+class TrilNaturalVariationalDistribution(_NaturalVariationalDistribution):
     """Precision parameterized by its Cholesky factor for stability (reference:
     tril_natural_variational_distribution.py:19).  The expectation-gradient surgery is applied
     at the (μ, Σ) level and chained through the tril parameterization."""
