@@ -14,6 +14,7 @@ from . import (
     constraints,
     distributions,
     kernels,
+    lazy,
     likelihoods,
     linop,
     means,
@@ -95,6 +96,14 @@ def sqrt_inv_matmul(input, rhs, lhs=None):
     return to_linear_operator(input).sqrt_inv_matmul(rhs, lhs)
 
 
+def inv_matmul(input, rhs, lhs=None):
+    """Deprecated alias of :func:`solve` (reference: gpytorch/__init__.py inv_matmul)."""
+    import warnings
+
+    warnings.warn("inv_matmul is deprecated. Use solve instead.", DeprecationWarning)
+    return solve(input, rhs, lhs)
+
+
 def dsmm(sparse_indices, sparse_values, dense, output_dim):
     """Sparse @ dense matmul (interpolation weights form; reference gpytorch/__init__.py dsmm).
 
@@ -105,20 +114,35 @@ def dsmm(sparse_indices, sparse_values, dense, output_dim):
     return left_interp(sparse_indices, sparse_values, dense)
 
 
+from .functions import log_normal_cdf  # noqa: E402  (deprecated top-level re-export, reference :27)
+from .mlls import ExactMarginalLogLikelihood  # noqa: E402  (reference :28)
+
+__version__ = "0.2.0"
+
 __all__ = [
+    "ExactMarginalLogLikelihood",
     "Module",
+    "__version__",
     "add_diagonal",
     "add_jitter",
+    "beta_features",
     "constraints",
     "distributions",
     "dsmm",
+    "inv_matmul",
     "inv_quad",
     "inv_quad_logdet",
     "kernels",
+    "lazy",
     "likelihoods",
     "linop",
+    "log_normal_cdf",
     "logdet",
     "matmul",
+    "metrics",
+    "optim",
+    "priors",
+    "variational",
     "means",
     "mlls",
     "models",
