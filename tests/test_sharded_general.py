@@ -142,7 +142,12 @@ def test_ring_exchange_matches_all_gather(ard_setup):
     ring_model = _ARDModel(
         x, y, GaussianLikelihood(), ShardedKernel(_base_kernel(), num_devices=8, ring=True)
     )
-    with _solver_ctx():
+    # light solver budget: ring vs all_gather run IDENTICAL probes/trajectories at any
+    # accuracy (only the block-summation order differs), so the heavyweight _solver_ctx
+    # config used for the vs-dense comparisons is wasted here (was 245 s of suite time)
+    with gp.settings.num_trace_samples(8), gp.settings.max_lanczos_quadrature_iterations(10), \
+         gp.settings.max_cg_iterations(60), gp.settings.cg_tolerance(1e-8), \
+         gp.settings.min_preconditioning_size(10**9):
         ring = make_sharded_mll(mesh, ring_model)(params, x, y, key=jax.random.PRNGKey(0))
         gathered = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
         # identical probes/trajectory; only the block-summation order differs
