@@ -127,6 +127,18 @@ class FixedNoiseGaussianLikelihood(_GaussianLikelihoodBase):
             return 0.0
         return self.second_noise_covar.noise
 
+    def get_fantasy_likelihood(self, **kwargs):
+        """Fantasy likelihood with the new observations' noise appended
+        (reference gaussian_likelihood.py:290-308 — raises without a ``noise`` kwarg)."""
+        if "noise" not in kwargs:
+            raise RuntimeError("FixedNoiseGaussianLikelihood.fantasize requires a `noise` kwarg")
+        new_noise = jnp.asarray(kwargs["noise"])
+        new = self.deepcopy()
+        new.noise_covar = FixedGaussianNoise(
+            jnp.concatenate([jnp.broadcast_to(self.noise_covar.noise, self.noise_covar.noise.shape), new_noise], axis=-1)
+        )
+        return new
+
     def _shaped_noise_covar(self, base_shape, *params, **kwargs):
         res = self.noise_covar(*params, shape=base_shape, **kwargs)
         if self.second_noise_covar is not None:

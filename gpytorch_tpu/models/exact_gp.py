@@ -77,15 +77,20 @@ class ExactGP(GP):
             jnp.concatenate([ti, fi], axis=-2) for ti, fi in zip(self.train_inputs, inputs)
         )
         full_targets = jnp.concatenate([self.train_targets, targets], axis=-1)
+        # `noise` is a likelihood concern (fixed-noise models supply the new observations'
+        # noise), never a forward() kwarg (reference exact_gp.py:229-252)
+        fantasy_kwargs = {"noise": kwargs.pop("noise")} if "noise" in kwargs else {}
         new_model = self.deepcopy()
         new_model.train_inputs = full_inputs
         new_model.train_targets = full_targets
         new_model.clear_caches()
+        if fantasy_kwargs and hasattr(self.likelihood, "get_fantasy_likelihood"):
+            new_model.likelihood = self.likelihood.get_fantasy_likelihood(**fantasy_kwargs)
         old_strategy = self._cache.get("prediction_strategy")
         if old_strategy is not None:
             full_output = self.forward(*full_inputs, **kwargs)
             new_strategy = old_strategy.get_fantasy_strategy(
-                inputs, targets, full_inputs, full_targets, full_output, **kwargs
+                inputs, targets, full_inputs, full_targets, full_output, **{**kwargs, **fantasy_kwargs}
             )
             new_model._cache["prediction_strategy"] = new_strategy
         return new_model

@@ -166,7 +166,10 @@ class DefaultPredictionStrategy:
             new_block = MultivariateNormal(
                 full_output.loc[..., n:], prior_joint[..., n:, n:].evaluate_kernel()
             )
-            D = lik.marginal(new_block).lazy_covariance_matrix.to_dense()
+            # fixed-noise models: the m×m D block takes the NEW observations' noise (the
+            # fantasy likelihood holds n+m entries, which cannot shape-match this block)
+            d_kwargs = {"noise": kwargs["noise"]} if "noise" in kwargs else {}
+            D = lik.marginal(new_block, **d_kwargs).lazy_covariance_matrix.to_dense()
             u_old = self.mean_cache  # (n,)
             AinvB = self.lik_train_train_covar.solve(B)  # m solves against the OLD system
             S = D - jnp.swapaxes(B, -1, -2) @ AinvB

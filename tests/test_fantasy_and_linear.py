@@ -164,3 +164,38 @@ def test_variational_fantasy_ovc():
     after = float(fant(jnp.asarray([0.5])).mean[0])
     assert after > before + 0.3, (before, after)
     assert np.isfinite(after)
+
+
+def test_fixed_noise_fantasy_matches_refit():
+    """Reference test/examples/test_fixed_noise_fanatasy_updates.py: fantasy updates on a
+    FixedNoiseGaussianLikelihood model extend the per-point noise and match a from-scratch
+    model conditioned on the joint data."""
+    from gpytorch_tpu.likelihoods import FixedNoiseGaussianLikelihood
+
+    n = 11
+    x = jnp.linspace(0, 1, n)
+    y = jnp.sin(x * 2 * jnp.pi)
+    noise = jnp.full((n,), 2e-4)
+    model = _GP(x, y, FixedNoiseGaussianLikelihood(noise), ScaleKernel(RBFKernel())).eval()
+    test_x = jnp.linspace(0.05, 0.95, 7)
+    _ = model(test_x)  # builds the prediction strategy (fantasy then rank-m updates it)
+
+    x_new = jnp.asarray([0.25, 0.65])
+    y_new = jnp.sin(x_new * 2 * jnp.pi)
+    noise_new = jnp.full((2,), 3e-4)
+    fant = model.get_fantasy_model(x_new, y_new, noise=noise_new)
+    assert fant.likelihood.noise.shape[-1] == n + 2
+    p_fant = fant(test_x)
+
+    refit = _GP(
+        jnp.concatenate([x, x_new]), jnp.concatenate([y, y_new]),
+        FixedNoiseGaussianLikelihood(jnp.concatenate([noise, noise_new])),
+        ScaleKernel(RBFKernel()),
+    ).eval()
+    p_refit = refit(test_x)
+    np.testing.assert_allclose(np.asarray(p_fant.mean), np.asarray(p_refit.mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_fant.variance), np.asarray(p_refit.variance), atol=1e-4)
+
+    # without the noise kwarg, fantasizing a fixed-noise model must raise (reference :300)
+    with pytest.raises(RuntimeError, match="noise"):
+        model.get_fantasy_model(x_new, y_new)
