@@ -198,6 +198,17 @@ class deterministic_probes(_feature_flag):
     _default = False
 
 
+class precond_logdet_vr(_feature_flag):
+    """Variance-reduced logdet gradient (Wenger et al., arXiv 2107.00243): when a
+    pivoted-Cholesky preconditioner P is active, estimate
+    d log|K̂| = d log|P| (analytic) + E_z[(K̂⁻¹z)ᵀ dK̂ (P⁻¹z) − (P⁻¹z)ᵀ dP (P⁻¹z)], z∼N(0,P)
+    instead of the plain Hutchinson form — unbiased either way, but the stochastic residual
+    shrinks as P→K̂, so hyperparameter gradients are far less noisy per probe.  TPU-extra
+    beyond the reference (linear_operator uses the plain estimator)."""
+
+    _default = True
+
+
 class terminate_cg_by_size(_feature_flag):
     _default = False
 
@@ -414,6 +425,7 @@ class SolverConfig:
     cholesky_max_tries: int = 3
     skip_logdet_forward: bool = False
     deterministic_probes: bool = False
+    precond_logdet_vr: bool = True
 
 
 def snapshot(dtype=None) -> SolverConfig:
@@ -434,4 +446,5 @@ def snapshot(dtype=None) -> SolverConfig:
         cholesky_max_tries=int(cholesky_max_tries.value()),
         skip_logdet_forward=bool(skip_logdet_forward.on()),
         deterministic_probes=bool(deterministic_probes.on()),
+        precond_logdet_vr=bool(precond_logdet_vr.on()),
     )

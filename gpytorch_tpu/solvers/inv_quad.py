@@ -41,6 +41,11 @@ class _IQConfig:
     max_iter: int
     tolerance: float
     skip_logdet_forward: bool
+    precond_logdet_vr: bool = True
+    # preconditioner knobs captured at call time: the custom-VJP backward is traced AFTER
+    # the caller's settings contexts have exited, so it must not read ambient settings
+    pc_rank: int = 15
+    pc_min_size: int = 2000
 
 
 # Host-level probe counter: when no explicit key is given and deterministic_probes is off,
@@ -87,6 +92,9 @@ def inv_quad_logdet_mbcg(
         max_iter=int(sc.max_cg_iterations),
         tolerance=float(sc.cg_tolerance),
         skip_logdet_forward=bool(sc.skip_logdet_forward),
+        precond_logdet_vr=bool(getattr(sc, "precond_logdet_vr", True)),
+        pc_rank=int(sc.max_preconditioner_size),
+        pc_min_size=int(sc.min_preconditioning_size),
     )
     n = linop.shape[-1]
     if has_rhs:
@@ -166,8 +174,9 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
     Pinv_probes = None
     if cfg.logdet:
         s_probe = solves[..., t_rhs:]
-        Pinv_probes = apply_P(probes) if apply_P is not None else probes
-        Pinv_probes = jax.lax.stop_gradient(Pinv_probes)
+        # None (pytree structure, hence a STATIC marker for the backward) when no
+        # preconditioner was active — the backward then uses the raw probes
+        Pinv_probes = jax.lax.stop_gradient(apply_P(probes)) if apply_P is not None else None
         if not cfg.skip_logdet_forward:
             alphas = result.alphas[..., t_rhs:]  # (m, *batch, t_probe)
             betas = result.betas[..., t_rhs:]
@@ -195,6 +204,10 @@ def _mbcg_fwd(cfg, linop, rhs, key):
 
 def _mbcg_bwd(cfg, residuals, g):
     linop, rhs, key, s_rhs, probes, norms, s_probe, Pinv_probes = residuals
+    # Pinv_probes is None (pytree structure → static) when the forward ran unpreconditioned
+    _had_precond = Pinv_probes is not None
+    if not _had_precond and cfg.logdet:
+        Pinv_probes = probes
     g_iq, g_ld = g
     axis = getattr(linop, "shard_axis_name", None)
 
@@ -222,11 +235,26 @@ def _mbcg_bwd(cfg, residuals, g):
         if cfg.logdet:
             sp = jax.lax.stop_gradient(s_probe)
             est = _rowsum(sp * K_all[..., t_rhs:])  # (*batch, t)
-            est = jnp.mean(jax.lax.stop_gradient(norms[..., 0, :]) ** 2 * est, axis=-1)  # (*batch,)
+            pz = jax.lax.stop_gradient(Pinv_probes)
+            if cfg.precond_logdet_vr and _had_precond:
+                # Variance-reduced form (arXiv 2107.00243): the analytic d log|P| term plus
+                # the residual  E[(K̂⁻¹z)ᵀ dK̂ (P⁻¹z) − (P⁻¹z)ᵀ dP (P⁻¹z)], z∼N(0,P).
+                # Unbiased for any P (E[z(P⁻¹z)ᵀ]=I and E[(P⁻¹z)(P⁻¹z)ᵀ]=P⁻¹); the
+                # stochastic part vanishes as P→K̂.  P is rebuilt differentiably from the
+                # traced operator: k kernel rows, O(nk²) — negligible next to the matvec.
+                _, P_op2, logdet_P2 = lo._preconditioner()
+                est = est - _rowsum(pz * P_op2._matmul(pz))  # (*batch, t)
+                est = jnp.mean(jax.lax.stop_gradient(norms[..., 0, :]) ** 2 * est, axis=-1)
+                est = est + logdet_P2.astype(est.dtype)
+            else:
+                est = jnp.mean(jax.lax.stop_gradient(norms[..., 0, :]) ** 2 * est, axis=-1)  # (*batch,)
             total = total + jnp.sum(g_ld * est)
         return total
 
-    _, vjp = jax.vjp(scalar_fn, linop)
+    # re-enter the call-time preconditioner knobs: scalar_fn is traced HERE, outside the
+    # caller's settings contexts, and the VR branch rebuilds P via lo._preconditioner()
+    with settings.max_preconditioner_size(cfg.pc_rank), settings.min_preconditioning_size(cfg.pc_min_size):
+        _, vjp = jax.vjp(scalar_fn, linop)
     (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
 
     if cfg.has_rhs:

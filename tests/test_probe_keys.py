@@ -4,6 +4,7 @@ reached via gpytorch/distributions/multivariate_normal.py:249)."""
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 import gpytorch_tpu as gp
@@ -102,3 +103,40 @@ def test_no_key_fresh_per_call(setup):
     l1 = float(loss(params))
     l2 = float(loss(params))
     assert l1 != l2, "without a key, successive (untraced) calls must draw fresh probes"
+
+
+def test_precond_logdet_vr_unbiased_and_lower_variance(setup):
+    """Variance-reduced logdet gradients (arXiv 2107.00243, settings.precond_logdet_vr):
+    with a pivoted-Cholesky preconditioner active, the VR estimator must stay unbiased
+    (mean grad ≈ Cholesky grad) and have materially lower variance than the plain
+    Hutchinson form."""
+    model, x, y = setup
+    params = model.trainable_params()
+
+    def loss(p, key, vr):
+        m = model.with_params(p)
+        with gp.settings.max_cholesky_size(0), gp.settings.cg_tolerance(1e-10), \
+             gp.settings.max_cg_iterations(300), gp.settings.num_trace_samples(8), \
+             gp.settings.max_lanczos_quadrature_iterations(25), \
+             gp.settings.max_preconditioner_size(8), gp.settings.min_preconditioning_size(8), \
+             gp.settings.precond_logdet_vr(vr):
+            return -ExactMarginalLogLikelihood(m.likelihood, m)(m(x), y, key=key)
+
+    def loss_chol(p):
+        m = model.with_params(p)
+        with gp.settings.max_cholesky_size(10**6):
+            return -ExactMarginalLogLikelihood(m.likelihood, m)(m(x), y)
+
+    g_exact = jax.grad(loss_chol)(params)
+    gfun = jax.jit(jax.grad(loss), static_argnums=(2,))
+    name = "likelihood.noise_covar.raw_noise"
+    stds, means = {}, {}
+    for vr in (False, True):
+        vals = np.stack([np.asarray(gfun(params, jax.random.PRNGKey(s), vr)[name]).ravel()
+                         for s in range(16)])
+        stds[vr], means[vr] = vals.std(0).max(), vals.mean(0)
+    ref = np.asarray(g_exact[name]).ravel()
+    # unbiased: VR mean within a few VR-standard-errors of the exact gradient
+    assert np.all(np.abs(means[True] - ref) < 5 * stds[True] / np.sqrt(16) + 1e-6), (means[True], ref)
+    # variance reduction: at least 3x std shrink on the noise gradient (observed ~15x)
+    assert stds[True] < stds[False] / 3.0, (stds[True], stds[False])
