@@ -1,4 +1,4 @@
-from . import deprecation, errors, generic, grid, interpolation, quadrature, transforms, warnings
+from . import deprecation, errors, generic, grid, interpolation, profiling, quadrature, transforms, warnings
 from .interpolation import Interpolation, left_interp, left_t_interp
 from .memoize import cached, clear_cache_hook, pop_from_cache
 from .nearest_neighbors import NNUtil
@@ -22,6 +22,7 @@ __all__ = [
     "inv_softplus",
     "left_t_interp",
     "pop_from_cache",
+    "profiling",
     "quadrature",
     "sum_interaction_terms",
     "transforms",
