@@ -71,19 +71,22 @@ class AddedDiagLinearOperator(LinearOperator):
         L = pivoted_cholesky(self.base, rank=k)  # (..., n, k)
         diag = self.diag_op._diag_values()
         dinv = 1.0 / diag  # (..., n)
-        # Woodbury: P⁻¹ v = D⁻¹v − D⁻¹L (I + Lᵀ D⁻¹ L)⁻¹ Lᵀ D⁻¹ v
+        # Woodbury: P⁻¹ v = D⁻¹v − D⁻¹L (I + Lᵀ D⁻¹ L)⁻¹ Lᵀ D⁻¹ v.
+        # HIGHEST-precision matmuls throughout: TPU one-pass bf16 rounding here biases
+        # log|P| (and its gradient, used by settings.precond_logdet_vr) by O(n·5e-3).
+        _hp = jax.lax.Precision.HIGHEST
         dinv_L = L * dinv[..., :, None]
         eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-        cap = eye + jnp.swapaxes(L, -1, -2) @ dinv_L
+        cap = eye + jnp.matmul(jnp.swapaxes(L, -1, -2), dinv_L, precision=_hp)
         from ..solvers.cholesky import psd_safe_cholesky
 
         Lc = psd_safe_cholesky(cap)
 
         def apply_inv(v):
             dv = v * dinv[..., :, None]
-            tmp = jnp.swapaxes(L, -1, -2) @ dv
+            tmp = jnp.matmul(jnp.swapaxes(L, -1, -2), dv, precision=_hp)
             tmp = jax.scipy.linalg.cho_solve((Lc, True), tmp)
-            return dv - dinv_L @ tmp
+            return dv - jnp.matmul(dinv_L, tmp, precision=_hp)
 
         # log|P| = log|cap| + log|D|
         logdet_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1) + jnp.sum(
