@@ -7,8 +7,11 @@ so the data is synthetic with the 3droad shape (d=3, standardized), and RMSE/NLL
 build's own quality across rounds.
 
 Flagship solver config (shared with __graft_entry__.entry): mBCG, max_cg_iterations=100 with
-residual early exit, 10 SLQ probes (fresh key per step), rank-15 pivoted-Cholesky
-preconditioner, bf16 K·V Pallas tiles for training, f32 for eval.
+stagnation early exit (window 5 — confirming a stall costs one matvec per window step, so a
+tight window buys ~10% wall-clock), 20 SLQ probes (fresh key per step; the MXU pads the
+probe block to 128 lanes, so 20 costs the same tile time as 10 and halves SLQ gradient
+variance), rank-15 pivoted-Cholesky preconditioner, bf16 K·V Pallas tiles for training,
+f32 for eval.
 
 Prints ONE JSON line: {"metric", "value" (s/iter, lower better), "unit", "vs_baseline",
 "rmse", "nll", "mfu_pct"}.  ``vs_baseline`` = speedup of the fused-Pallas step over the
@@ -36,9 +39,10 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st = contextlib.ExitStack()
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(100))
-    st.enter_context(gp.settings.num_trace_samples(10))
+    st.enter_context(gp.settings.num_trace_samples(20))
     st.enter_context(gp.settings.max_lanczos_quadrature_iterations(20))
     st.enter_context(gp.settings.max_preconditioner_size(15))
+    st.enter_context(gp.settings.cg_stall_window(5))
     st.enter_context(gp.settings.use_pallas(use_pallas))
     st.enter_context(gp.settings.kernel_matvec_bf16(bf16))
     return st
@@ -171,7 +175,7 @@ def main():
             res = linear_cg(lambda v: covar._matmul(v), rhs, max_iter=100, n_tridiag_iter=20)
         return int(res.num_iters)
 
-    t_cols = 11  # 1 rhs + 10 probes
+    t_cols = 21  # 1 rhs + 20 probes
     try:
         cg_iters_measured = _count_iters()
     except Exception:

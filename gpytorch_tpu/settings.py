@@ -203,10 +203,16 @@ class precond_logdet_vr(_feature_flag):
     pivoted-Cholesky preconditioner P is active, estimate
     d log|K̂| = d log|P| (analytic) + E_z[(K̂⁻¹z)ᵀ dK̂ (P⁻¹z) − (P⁻¹z)ᵀ dP (P⁻¹z)], z∼N(0,P)
     instead of the plain Hutchinson form — unbiased either way, but the stochastic residual
-    shrinks as P→K̂, so hyperparameter gradients are far less noisy per probe.  TPU-extra
-    beyond the reference (linear_operator uses the plain estimator)."""
+    shrinks as P→K̂, so hyperparameter gradients are far less noisy per probe (measured
+    3–15× std reduction at 8 probes with converged CG).  TPU-extra beyond the reference
+    (linear_operator uses the plain estimator).
 
-    _default = True
+    Opt-in: the derivation assumes (K̂⁻¹z) is solved accurately.  Under the bench's
+    stagnation-truncated bf16 CG the plain estimator's truncation bias partially cancels
+    across its large terms while the VR split exposes it, which measurably degraded
+    N=100k training quality — enable for tight-tolerance (f32-HIGHEST / small-N) training."""
+
+    _default = False
 
 
 class terminate_cg_by_size(_feature_flag):
@@ -425,7 +431,7 @@ class SolverConfig:
     cholesky_max_tries: int = 3
     skip_logdet_forward: bool = False
     deterministic_probes: bool = False
-    precond_logdet_vr: bool = True
+    precond_logdet_vr: bool = False
 
 
 def snapshot(dtype=None) -> SolverConfig:

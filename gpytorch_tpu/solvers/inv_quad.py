@@ -41,7 +41,7 @@ class _IQConfig:
     max_iter: int
     tolerance: float
     skip_logdet_forward: bool
-    precond_logdet_vr: bool = True
+    precond_logdet_vr: bool = False
     # preconditioner knobs captured at call time: the custom-VJP backward is traced AFTER
     # the caller's settings contexts have exited, so it must not read ambient settings
     pc_rank: int = 15
@@ -92,7 +92,7 @@ def inv_quad_logdet_mbcg(
         max_iter=int(sc.max_cg_iterations),
         tolerance=float(sc.cg_tolerance),
         skip_logdet_forward=bool(sc.skip_logdet_forward),
-        precond_logdet_vr=bool(getattr(sc, "precond_logdet_vr", True)),
+        precond_logdet_vr=bool(getattr(sc, "precond_logdet_vr", False)),
         pc_rank=int(sc.max_preconditioner_size),
         pc_min_size=int(sc.min_preconditioning_size),
     )
