@@ -95,13 +95,23 @@ class GridInterpolationKernel(GridKernel):
             return
         if isinstance(x1, jax.core.Tracer) or isinstance(x2, jax.core.Tracer):
             return
-        if x1.ndim == 1:
-            x1 = x1[:, None]
-        if x2.ndim == 1:
-            x2 = x2[:, None]
-        x = x1 if x1 is x2 else jnp.concatenate([x1.reshape(-1, x1.shape[-1]), x2.reshape(-1, x2.shape[-1])], axis=-2)
-        mins = jnp.min(x.reshape(-1, x.shape[-1]), axis=0)
-        maxs = jnp.max(x.reshape(-1, x.shape[-1]), axis=0)
+        # numpy, not jnp: under a jit trace every jnp op stages out a tracer even when its
+        # operands are concrete closure constants, and the grid refresh needs host floats
+        import numpy as np
+
+        x1n = np.asarray(x1)
+        x2n = np.asarray(x2)
+        if x1n.ndim == 1:
+            x1n = x1n[:, None]
+        if x2n.ndim == 1:
+            x2n = x2n[:, None]
+        x = (
+            x1n
+            if x1 is x2
+            else np.concatenate([x1n.reshape(-1, x1n.shape[-1]), x2n.reshape(-1, x2n.shape[-1])], axis=-2)
+        )
+        mins = np.min(x.reshape(-1, x.shape[-1]), axis=0)
+        maxs = np.max(x.reshape(-1, x.shape[-1]), axis=0)
         needs_update = int(self.has_initialized_grid) == 0 or any(
             float(mins[i]) < self._tight_grid_bounds[i][0] or float(maxs[i]) > self._tight_grid_bounds[i][1]
             for i in range(self.num_dims)
@@ -115,7 +125,9 @@ class GridInterpolationKernel(GridKernel):
         self.grid_bounds = bounds
         grid = create_grid(list(self.grid_sizes), list(bounds), extend=False, dtype=x1.dtype)
         self.update_grid(grid)
-        self.has_initialized_grid = jnp.asarray(1, dtype=jnp.int32)
+        import numpy as _np
+
+        self.has_initialized_grid = _np.asarray(1, dtype=_np.int32)
 
     def forward(self, x1, x2, diag=False, last_dim_is_batch=False, **params):
         self._update_dynamic_grid(x1, x2)

@@ -42,7 +42,11 @@ class GridKernel(Kernel):
             from ..utils.grid import convert_legacy_grid
 
             grid = convert_legacy_grid(grid)
-        self.grid = [jnp.asarray(p) for p in grid]
+        # numpy: update_grid mutates module state, which must stay concrete even when the
+        # call happens inside a jit trace (e.g. GridInterpolationKernel's dynamic refresh)
+        import numpy as np
+
+        self.grid = [np.asarray(p) for p in grid]
         if not self.interpolation_mode:
             self.full_grid = create_data_from_grid(self.grid)
         self.clear_caches()

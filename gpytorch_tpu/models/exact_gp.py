@@ -76,7 +76,15 @@ class ExactGP(GP):
         full_inputs = tuple(
             jnp.concatenate([ti, fi], axis=-2) for ti, fi in zip(self.train_inputs, inputs)
         )
-        full_targets = jnp.concatenate([self.train_targets, targets], axis=-1)
+        # Multitask targets carry a trailing task dim: concatenate new observations along
+        # the data dim (-2), matching reference exact_gp.py:183-186 (data_dim_start)
+        old_strategy = self._cache.get("prediction_strategy")
+        if old_strategy is not None:
+            multitask = isinstance(old_strategy.train_prior_dist, MultitaskMultivariateNormal)
+        else:
+            multitask = isinstance(self._get_train_prior_distribution(), MultitaskMultivariateNormal)
+        data_axis = -2 if multitask else -1
+        full_targets = jnp.concatenate([self.train_targets, targets], axis=data_axis)
         # `noise` is a likelihood concern (fixed-noise models supply the new observations'
         # noise), never a forward() kwarg (reference exact_gp.py:229-252)
         fantasy_kwargs = {"noise": kwargs.pop("noise")} if "noise" in kwargs else {}
@@ -86,7 +94,6 @@ class ExactGP(GP):
         new_model.clear_caches()
         if fantasy_kwargs and hasattr(self.likelihood, "get_fantasy_likelihood"):
             new_model.likelihood = self.likelihood.get_fantasy_likelihood(**fantasy_kwargs)
-        old_strategy = self._cache.get("prediction_strategy")
         if old_strategy is not None:
             full_output = self.forward(*full_inputs, **kwargs)
             new_strategy = old_strategy.get_fantasy_strategy(

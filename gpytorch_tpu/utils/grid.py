@@ -50,16 +50,22 @@ def convert_legacy_grid(grid) -> List[jax.Array]:
     return [grid[:, i] for i in range(grid.shape[-1])]
 
 
-def create_data_from_grid(grid: List[jax.Array]) -> jax.Array:
-    """Cartesian product of per-dim grids, first dimension varying fastest (reference :107)."""
+def create_data_from_grid(grid) -> jax.Array:
+    """Cartesian product of per-dim grids, first dimension varying fastest (reference :107).
+
+    Built in numpy so grid (re)construction stays concrete even when it happens inside a
+    jit trace (dynamic grid refresh mutates module state, which must never hold tracers)."""
+    import numpy as np
+
     if not isinstance(grid, (list, tuple)):
         grid = convert_legacy_grid(grid)
-    projections = jnp.meshgrid(*grid, indexing="ij")
-    grid_tensor = jnp.stack(projections, axis=-1)
+    grid = [np.asarray(g) for g in grid]
+    projections = np.meshgrid(*grid, indexing="ij")
+    grid_tensor = np.stack(projections, axis=-1)
     ndims = len(grid)
     # iterate first data dimension fastest (legacy reference ordering)
     perm = tuple(reversed(range(ndims + 1)))
-    return jnp.swapaxes(jnp.transpose(grid_tensor, perm).reshape(ndims, -1), 0, 1)
+    return np.swapaxes(np.transpose(grid_tensor, perm).reshape(ndims, -1), 0, 1)
 
 
 def create_grid(
@@ -67,16 +73,22 @@ def create_grid(
     grid_bounds: List[Tuple[float, float]],
     extend: bool = True,
     dtype=jnp.float32,
-) -> List[jax.Array]:
-    """Per-dim 1D grids, optionally extended one step past each bound (reference :130)."""
+):
+    """Per-dim 1D grids, optionally extended one step past each bound (reference :130).
+
+    Returns concrete numpy arrays (see create_data_from_grid) — downstream jnp ops treat
+    them as constants whether eager or traced."""
+    import numpy as np
+
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
     grid = []
     for i in range(len(grid_bounds)):
         grid_diff = float(grid_bounds[i][1] - grid_bounds[i][0]) / (grid_sizes[i] - 2)
         if extend:
-            proj = jnp.linspace(
-                grid_bounds[i][0] - grid_diff, grid_bounds[i][1] + grid_diff, grid_sizes[i], dtype=dtype
+            proj = np.linspace(
+                grid_bounds[i][0] - grid_diff, grid_bounds[i][1] + grid_diff, grid_sizes[i], dtype=np_dtype
             )
         else:
-            proj = jnp.linspace(grid_bounds[i][0], grid_bounds[i][1], grid_sizes[i], dtype=dtype)
+            proj = np.linspace(grid_bounds[i][0], grid_bounds[i][1], grid_sizes[i], dtype=np_dtype)
         grid.append(proj)
     return grid
