@@ -72,9 +72,13 @@ class AddedDiagLinearOperator(LinearOperator):
         diag = self.diag_op._diag_values()
         dinv = 1.0 / diag  # (..., n)
         # Woodbury: P⁻¹ v = D⁻¹v − D⁻¹L (I + Lᵀ D⁻¹ L)⁻¹ Lᵀ D⁻¹ v.
-        # HIGHEST-precision matmuls throughout: TPU one-pass bf16 rounding here biases
-        # log|P| (and its gradient, used by settings.precond_logdet_vr) by O(n·5e-3).
-        _hp = jax.lax.Precision.HIGHEST
+        # Precision follows settings.preconditioner_highest_precision (see
+        # solvers/pivoted_cholesky.py for why the default is one-pass bf16).
+        _hp = (
+            jax.lax.Precision.HIGHEST
+            if settings.preconditioner_highest_precision.on()
+            else None
+        )
         dinv_L = L * dinv[..., :, None]
         eye = jnp.eye(L.shape[-1], dtype=L.dtype)
         cap = eye + jnp.matmul(jnp.swapaxes(L, -1, -2), dinv_L, precision=_hp)

@@ -215,6 +215,20 @@ class precond_logdet_vr(_feature_flag):
     _default = False
 
 
+class preconditioner_highest_precision(_feature_flag):
+    """Run the O(nk²) pivoted-Cholesky / Woodbury-preconditioner matmuls at
+    Precision.HIGHEST instead of the TPU one-pass bf16 default.
+
+    Needed for an accurate reverse-mode d log|P| when ``precond_logdet_vr`` is enabled
+    (the one-pass rounding bias scales with n); enable the two flags together.  Off by
+    default: P is only a preconditioner — 5e-3-level perturbations of L are harmless to
+    CG and the plain estimator, while changing L perturbs the probe stream z ∼ N(0, P)
+    (bisected at N=100k: flipping this alone moved bench training RMSE 0.18 → 0.43 by
+    landing in a different hyperparameter basin)."""
+
+    _default = False
+
+
 class terminate_cg_by_size(_feature_flag):
     _default = False
 

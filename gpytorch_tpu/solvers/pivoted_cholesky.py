@@ -20,11 +20,17 @@ import jax.numpy as jnp
 def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
     """Return L of shape (..., n, rank) with L Lᵀ ≈ linop (best rank-k pivoted approx).
 
-    All inner products run at Precision.HIGHEST: on TPU the default one-pass bf16
-    rounding (~5e-3 rel) would otherwise contaminate L — and, worse, the reverse-mode
-    gradient of log|P| used by the variance-reduced logdet estimator
-    (settings.precond_logdet_vr), where the error scales with n.  These are O(nk²) ops,
-    negligible next to the O(n²) solver matvecs."""
+    Inner-product precision follows ``settings.preconditioner_highest_precision``
+    (default OFF → TPU one-pass bf16 dots).  HIGHEST matters only for the reverse-mode
+    gradient of log|P| in the variance-reduced logdet estimator
+    (settings.precond_logdet_vr), where the one-pass rounding bias scales with n — enable
+    the two flags together.  It is deliberately NOT the default: the preconditioner is a
+    preconditioner, 5e-3-level perturbations of L are harmless to CG and to the plain
+    estimator, and changing L perturbs the probe stream z ∼ N(0, P), which measurably
+    shifted N=100k bench training trajectories (bisected: RMSE 0.18 → 0.43)."""
+    from .. import settings
+
+    _prec = jax.lax.Precision.HIGHEST if settings.preconditioner_highest_precision.on() else None
     diag = linop._diagonal()  # (..., n)
     batch = diag.shape[:-1]
     n = diag.shape[-1]
@@ -38,7 +44,7 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
         row = linop._get_rows(pivot[..., None])[..., 0, :]  # (..., n)
         # subtract previously-selected columns: row_i - L @ L[pivot]
         L_pivot = jnp.take_along_axis(L, pivot[..., None, None], axis=-2)[..., 0, :]  # (..., rank)
-        correction = jnp.einsum("...nk,...k->...n", L, L_pivot, precision=jax.lax.Precision.HIGHEST)
+        correction = jnp.einsum("...nk,...k->...n", L, L_pivot, precision=_prec)
         denom = jnp.sqrt(jnp.maximum(pivot_val, jitter))
         col = (row - correction) / denom[..., None]
         # force exact zero at the pivot-complement to keep d ≥ 0
