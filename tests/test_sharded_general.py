@@ -61,7 +61,10 @@ def _init_params(model):
     return params
 
 
-_SOLVER = dict(num_probes=64, tridiag=50, cg_iters=300, tol=1e-8)
+# Medium budget: vs-dense MLL tolerance is 5% and grad rtol 0.2 — 32 probes/30 tridiag at
+# n=256 is already well inside that; heavier budgets only inflate compile+run time (this
+# file is compile-bound: every shard_map program is its own XLA compile).
+_SOLVER = dict(num_probes=32, tridiag=30, cg_iters=150, tol=1e-8)
 
 
 def _solver_ctx():
@@ -100,20 +103,28 @@ def ard_setup():
     return mesh, x, y, model, dense_model, params
 
 
-def test_sharded_ard_mll_matches_dense(ard_setup):
-    mesh, x, y, model, dense_model, params = ard_setup
-    with _solver_ctx():
-        sharded = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
-    dense = _dense_mll_fn(dense_model, x, y)(params)
-    assert abs(float(sharded) - float(dense)) / abs(float(dense)) < 0.05, (float(sharded), float(dense))
-
-
-def test_sharded_ard_gradients_match_dense(ard_setup):
+@pytest.fixture(scope="module")
+def ard_results(ard_setup):
+    """ONE value_and_grad program per path (sharded / dense) — each shard_map program is
+    a separate XLA compile, so the vs-dense tests share these results instead of tracing
+    value-only and grad-only variants separately."""
     mesh, x, y, model, dense_model, params = ard_setup
     with _solver_ctx():
         mll_fn = make_sharded_mll(mesh, model)
-        g_sharded = jax.grad(lambda p: -mll_fn(p, x, y, key=jax.random.PRNGKey(0)))(params)
-    g_dense = jax.grad(lambda p: -_dense_mll_fn(dense_model, x, y)(p))(params)
+        sharded_val, sharded_grad = jax.value_and_grad(
+            lambda p: mll_fn(p, x, y, key=jax.random.PRNGKey(0))
+        )(params)
+    dense_val, dense_grad = jax.value_and_grad(_dense_mll_fn(dense_model, x, y))(params)
+    return sharded_val, sharded_grad, dense_val, dense_grad
+
+
+def test_sharded_ard_mll_matches_dense(ard_results):
+    sharded, _, dense, _ = ard_results
+    assert abs(float(sharded) - float(dense)) / abs(float(dense)) < 0.05, (float(sharded), float(dense))
+
+
+def test_sharded_ard_gradients_match_dense(ard_results):
+    _, g_sharded, _, g_dense = ard_results
     for name in g_dense:
         np.testing.assert_allclose(
             np.asarray(g_sharded[name]), np.asarray(g_dense[name]), rtol=0.2, atol=0.03,
@@ -138,23 +149,25 @@ def test_sharded_posterior_matches_dense(ard_setup):
 
 
 def test_ring_exchange_matches_all_gather(ard_setup):
+    """Ring ppermute vs all_gather: identical probes/trajectories at ANY solver budget
+    (only the block-summation order differs), so this uses a light budget and ONE
+    value_and_grad program per path (this test was 248 s as four separate programs)."""
     mesh, x, y, model, dense_model, params = ard_setup
     ring_model = _ARDModel(
         x, y, GaussianLikelihood(), ShardedKernel(_base_kernel(), num_devices=8, ring=True)
     )
-    # light solver budget: ring vs all_gather run IDENTICAL probes/trajectories at any
-    # accuracy (only the block-summation order differs), so the heavyweight _solver_ctx
-    # config used for the vs-dense comparisons is wasted here (was 245 s of suite time)
     with gp.settings.num_trace_samples(8), gp.settings.max_lanczos_quadrature_iterations(10), \
          gp.settings.max_cg_iterations(60), gp.settings.cg_tolerance(1e-8), \
          gp.settings.min_preconditioning_size(10**9):
-        ring = make_sharded_mll(mesh, ring_model)(params, x, y, key=jax.random.PRNGKey(0))
-        gathered = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
-        # identical probes/trajectory; only the block-summation order differs
-        np.testing.assert_allclose(float(ring), float(gathered), rtol=1e-5)
-        # gradients flow through the ppermute ring (transpose = reverse permute)
-        g_ring = jax.grad(lambda p: -make_sharded_mll(mesh, ring_model)(p, x, y, key=jax.random.PRNGKey(0)))(params)
-        g_gather = jax.grad(lambda p: -make_sharded_mll(mesh, model)(p, x, y, key=jax.random.PRNGKey(0)))(params)
+        ring, g_ring = jax.value_and_grad(
+            lambda p: make_sharded_mll(mesh, ring_model)(p, x, y, key=jax.random.PRNGKey(0))
+        )(params)
+        gathered, g_gather = jax.value_and_grad(
+            lambda p: make_sharded_mll(mesh, model)(p, x, y, key=jax.random.PRNGKey(0))
+        )(params)
+    # identical probes/trajectory; only the block-summation order differs
+    np.testing.assert_allclose(float(ring), float(gathered), rtol=1e-5)
+    # gradients flow through the ppermute ring (transpose = reverse permute)
     for k in g_ring:
         np.testing.assert_allclose(np.asarray(g_ring[k]), np.asarray(g_gather[k]), atol=1e-6,
                                    err_msg=f"ring grad mismatch for {k}")
