@@ -148,7 +148,11 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
     else:
         rhs_all = rhs
 
-    n_tri = cfg.n_tridiag_iter if cfg.logdet else 0
+    # skip_logdet_forward: the SLQ tridiagonals feed ONLY the forward logdet value (the
+    # gradient comes from the probe solves in the custom VJP), so skipping the forward also
+    # lifts the n_tridiag_iter minimum-iteration floor — CG exits purely on
+    # convergence/stagnation (reference skip_logdet_forward only skips the quadrature).
+    n_tri = cfg.n_tridiag_iter if (cfg.logdet and not cfg.skip_logdet_forward) else 0
     result = linear_cg(
         lambda v: linop._matmul(v),
         rhs_all,
