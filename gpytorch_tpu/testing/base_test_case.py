@@ -57,6 +57,13 @@ class BaseTestCase:
     def assertLess(self, a, b):
         assert a < b, f"{a} is not less than {b}"
 
+    def _default_dtype(self, dtype):
+        if dtype is not None:
+            return dtype
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
     def randn(self, *shape, dtype=None) -> jax.Array:
-        return jax.random.normal(self.key(), shape, dtype=dtype or jnp.float64
-                                 if jax.config.jax_enable_x64 else jnp.float32)
+        return jax.random.normal(self.key(), shape, dtype=self._default_dtype(dtype))
+
+    def rand(self, *shape, dtype=None) -> jax.Array:
+        return jax.random.uniform(self.key(), shape, dtype=self._default_dtype(dtype))
