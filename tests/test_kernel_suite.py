@@ -272,3 +272,103 @@ class TestMultitaskKernel(BaseKernelTestCase):
 
     def create_data_no_batch(self):
         return self.randn(12, 2)
+
+
+class TestGridKernel(BaseKernelTestCase):
+    """Off-grid inputs take the documented dense-fallback path; on-grid structure is
+    covered by tests/test_scalable_gp_regression.py."""
+
+    supports_active_dims = False
+    supports_batch_inputs = False
+    input_dims = 1
+
+    def create_kernel_no_ard(self, **kwargs):
+        from gpytorch_tpu.utils.grid import create_grid
+
+        return K.GridKernel(K.RBFKernel(), grid=create_grid([8], [(-4.0, 4.0)]), **kwargs)
+
+
+class TestGridInterpolationKernel(BaseKernelTestCase):
+    supports_active_dims = False
+    supports_batch_inputs = False
+    input_dims = 1
+
+    def create_kernel_no_ard(self, **kwargs):
+        return K.GridInterpolationKernel(
+            K.RBFKernel(), grid_size=16, num_dims=1, grid_bounds=[(-4.0, 4.0)], **kwargs
+        )
+
+
+class TestInducingPointKernel(BaseKernelTestCase):
+    supports_active_dims = False
+    supports_batch_inputs = False
+    input_dims = 2
+
+    def create_kernel_no_ard(self, **kwargs):
+        from gpytorch_tpu.likelihoods import GaussianLikelihood
+
+        return K.InducingPointKernel(
+            K.ScaleKernel(K.RBFKernel()), inducing_points=self.randn(8, 2),
+            likelihood=GaussianLikelihood(), **kwargs
+        )
+
+    def test_cross_covar_shape_and_symmetry(self):
+        # SGPR kernels require x1 == x2 in training mode (reference
+        # inducing_point_kernel.py forward) — cross covariances are an eval-mode concern
+        import jax.numpy as jnp
+
+        kernel = self.create_kernel_no_ard().eval()
+        x1 = self.randn(6, self.input_dims)
+        x2 = self.randn(4, self.input_dims)
+        K12 = kernel(x1, x2).evaluate_kernel().to_dense()
+        K21 = kernel(x2, x1).evaluate_kernel().to_dense()
+        o = kernel.num_outputs_per_input(x1, x2)
+        assert K12.shape[-2:] == (6 * o, 4 * o)
+        self.assertAllClose(K12, jnp.swapaxes(K21, -1, -2), rtol=1e-3, atol=1e-4)
+
+
+class TestAdditiveStructureKernel(BaseKernelTestCase):
+    supports_active_dims = False
+    supports_batch_inputs = False
+    input_dims = 3
+
+    def create_kernel_no_ard(self, **kwargs):
+        return K.AdditiveStructureKernel(K.RBFKernel(), num_dims=3, **kwargs)
+
+
+class TestProductStructureKernel(BaseKernelTestCase):
+    supports_active_dims = False
+    supports_batch_inputs = False
+    input_dims = 3
+
+    def create_kernel_no_ard(self, **kwargs):
+        return K.ProductStructureKernel(K.RBFKernel(), num_dims=3, **kwargs)
+
+
+class TestLCMKernel(BaseKernelTestCase):
+    supports_active_dims = False
+    supports_diag = False
+    supports_batch_inputs = False
+    input_dims = 2
+
+    def create_kernel_no_ard(self, **kwargs):
+        return K.LCMKernel([K.RBFKernel(), K.MaternKernel(nu=1.5)], num_tasks=2, rank=1, **kwargs)
+
+    def create_data_no_batch(self):
+        return self.randn(12, 2)
+
+
+class TestCylindricalKernel(BaseKernelTestCase):
+    """Inputs must lie in the unit ball (reference cylindrical_kernel.py domain)."""
+
+    supports_active_dims = False
+    supports_batch_inputs = False
+    input_dims = 2
+
+    def create_kernel_no_ard(self, **kwargs):
+        return K.CylindricalKernel(num_angular_weights=3, radial_base_kernel=K.MaternKernel(nu=1.5), **kwargs)
+
+    def create_data_no_batch(self):
+        x = self.randn(50, self.input_dims)
+        norms = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return 0.9 * x / jnp.maximum(norms, 1.0)
