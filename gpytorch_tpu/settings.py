@@ -264,6 +264,57 @@ class cholesky_max_tries(_value_context):
     _global_value = 3
 
 
+class _linalg_dtype_cholesky(_value_context):
+    """Dtype that dense Cholesky factorizations are promoted to (reference:
+    linear_operator settings._linalg_dtype_cholesky, default double).
+
+    TPU note: f64 is unavailable on TPU — the promotion applies only when
+    ``jax_enable_x64`` is on (CPU/GPU); on TPU use ``solve_iterative_refinements`` /
+    ``kernel_matvec_highest`` as the numerical-parity substitute (SURVEY §7 hard parts)."""
+
+    _global_value = "float64"
+
+    @classmethod
+    def dtype(cls):
+        """Resolved jnp dtype, or None when promotion is unavailable/disabled."""
+        import jax
+        import jax.numpy as jnp
+
+        v = cls.value()
+        if v is None:
+            return None
+        dt = jnp.dtype(v) if not hasattr(v, "dtype") else jnp.dtype(v)
+        if dt == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+            return None
+        return dt
+
+
+class _linalg_dtype_symeig(_linalg_dtype_cholesky):
+    """Dtype for dense symmetric eigendecompositions (reference parity)."""
+
+    _global_value = "float64"
+
+
+class linalg_dtypes:
+    """Compound context setting the Cholesky/symeig promotion dtypes at once
+    (reference: linear_operator settings.linalg_dtypes)."""
+
+    def __init__(self, default=None, symeig=None, cholesky=None):
+        default = "float64" if default is None else default  # reference default: double
+        self._chol = _linalg_dtype_cholesky(cholesky if cholesky is not None else default)
+        self._sym = _linalg_dtype_symeig(symeig if symeig is not None else default)
+
+    def __enter__(self):
+        self._chol.__enter__()
+        self._sym.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        self._sym.__exit__(*exc)
+        self._chol.__exit__(*exc)
+        return False
+
+
 class use_toeplitz(_feature_flag):
     _default = True
 

@@ -22,6 +22,14 @@ from .. import settings
 
 
 def psd_safe_cholesky(A: jax.Array, jitter: Optional[float] = None, max_tries: Optional[int] = None) -> jax.Array:
+    # linalg-dtype promotion (reference: linear_operator linalg_dtypes, default double) —
+    # resolves to None on TPU/f32-only runtimes, where iterative refinement is the substitute
+    out_dtype = A.dtype
+    promote = settings._linalg_dtype_cholesky.dtype()
+    if promote is not None and jnp.dtype(promote) != jnp.dtype(A.dtype) and jnp.issubdtype(A.dtype, jnp.floating):
+        if jnp.finfo(promote).bits > jnp.finfo(A.dtype).bits:
+            L = psd_safe_cholesky(A.astype(promote), jitter=jitter, max_tries=max_tries)
+            return L.astype(out_dtype)
     if jitter is None:
         jitter = settings.cholesky_jitter.value(A.dtype)
     if max_tries is None:

@@ -185,7 +185,12 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
             alphas = result.alphas[..., t_rhs:]  # (m, *batch, t_probe)
             betas = result.betas[..., t_rhs:]
             T = tridiag_from_coeffs(alphas, betas)  # (*batch, t, m, m)
-            lam, V = jnp.linalg.eigh(T)
+            sym_dt = settings._linalg_dtype_symeig.dtype()
+            if sym_dt is not None and jnp.finfo(sym_dt).bits > jnp.finfo(T.dtype).bits:
+                lam, V = jnp.linalg.eigh(T.astype(sym_dt))
+                lam, V = lam.astype(T.dtype), V.astype(T.dtype)
+            else:
+                lam, V = jnp.linalg.eigh(T)
             lam = jnp.maximum(lam, 1e-20)
             w = V[..., 0, :] ** 2  # e₁ weights
             slq = jnp.sum(w * jnp.log(lam), axis=-1)  # (*batch, t)

@@ -240,3 +240,32 @@ def test_spectral_mixture_regression_e2e():
     mae = float(jnp.mean(jnp.abs(pred.mean - jnp.sin(test_x * 2 * jnp.pi))))
     # reference gate is 0.02; allow slack for optimizer/init differences
     assert mae < 0.1, f"spectral mixture MAE {mae}"
+
+
+def test_linalg_dtypes_contexts():
+    """linalg_dtypes / _linalg_dtype_{cholesky,symeig} (reference: linear_operator
+    settings, re-exported at gpytorch/settings.py:7-15): dense factorizations promote to
+    the requested dtype (default double) where the runtime supports it."""
+    import jax.numpy as jnp
+
+    from gpytorch_tpu.solvers.cholesky import psd_safe_cholesky
+
+    assert jnp.dtype(gp.settings._linalg_dtype_cholesky.value()) == jnp.dtype("float64")
+    assert jnp.dtype(gp.settings._linalg_dtype_symeig.value()) == jnp.dtype("float64")
+    with gp.settings.linalg_dtypes(default=jnp.float32):
+        assert jnp.dtype(gp.settings._linalg_dtype_cholesky.value()) == jnp.dtype("float32")
+        assert jnp.dtype(gp.settings._linalg_dtype_symeig.value()) == jnp.dtype("float32")
+    assert jnp.dtype(gp.settings._linalg_dtype_cholesky.value()) == jnp.dtype("float64")
+
+    # an f32 input factors through f64 under the default promotion and returns f32
+    key = jax.random.PRNGKey(0)
+    m = jax.random.normal(key, (12, 12), dtype=jnp.float32)
+    A = m @ m.T + 1e-1 * jnp.eye(12, dtype=jnp.float32)
+    L = psd_safe_cholesky(A)
+    assert L.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(A), atol=2e-4)
+    # promotion disabled: still a valid f32 factorization
+    with gp.settings.linalg_dtypes(default=jnp.float32):
+        L32 = psd_safe_cholesky(A)
+    assert L32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(L32 @ L32.T), np.asarray(A), atol=2e-3)
