@@ -29,7 +29,7 @@ from . import (
     utils,
     variational,
 )
-from .core.module import Module
+from .core.module import Module, RandomModuleMixin
 from .linop import to_dense, to_linear_operator
 from .solvers import psd_safe_cholesky
 
@@ -122,6 +122,7 @@ __version__ = "0.2.0"
 __all__ = [
     "ExactMarginalLogLikelihood",
     "Module",
+    "RandomModuleMixin",
     "__version__",
     "add_diagonal",
     "add_jitter",

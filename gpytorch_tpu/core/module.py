@@ -328,3 +328,12 @@ class Module(DictPyTree):
 
 # Module subclasses DictPyTree, so it was auto-registered by __init_subclass__.
 register_dynamic_base(Module)
+
+
+class RandomModuleMixin:
+    """Mixin allowing dotted-path initialize on plain (non-Module) containers
+    (reference: gpytorch/module.py:30-68).  Our Module.initialize already resolves dotted
+    names, so this simply forwards."""
+
+    def initialize(self, **kwargs):
+        return Module.initialize(self, **kwargs)

@@ -16,12 +16,22 @@ RBFCovariance = fused_kernel_matvec
 MaternCovariance = fused_kernel_matvec
 
 
+class LogNormalCDF:
+    """Reference functions._log_normal_cdf.LogNormalCDF (autograd Function): here the
+    stable log Φ is a plain differentiable function — ``apply`` kept for API parity."""
+
+    @staticmethod
+    def apply(x):
+        return log_normal_cdf(x)
+
+
 def inv_matmul(input, rhs, lhs=None):
     """Reference functions.inv_matmul — delegate to solve."""
     return solve(input, rhs, lhs)
 
 
 __all__ = [
+    "LogNormalCDF",
     "MaternCovariance",
     "RBFCovariance",
     "fused_kernel_matvec",
@@ -33,3 +43,13 @@ __all__ = [
     "logdet",
     "matmul",
 ]
+
+
+# -- reference one-file-per-function import paths (gpytorch/functions/) -------------------
+from ._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "_log_normal_cdf": {"LogNormalCDF": LogNormalCDF, "log_normal_cdf": log_normal_cdf},
+    "matern_covariance": {"MaternCovariance": MaternCovariance},
+    "rbf_covariance": {"RBFCovariance": RBFCovariance},
+})

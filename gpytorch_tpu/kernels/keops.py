@@ -17,3 +17,14 @@ from .kernel import Kernel as KeOpsKernel
 from .stationary import MaternKernel, PeriodicKernel, RBFKernel
 
 __all__ = ["KeOpsKernel", "MaternKernel", "PeriodicKernel", "RBFKernel"]
+
+
+# -- reference one-file-per-kernel import paths (gpytorch/kernels/keops/) -----------------
+from .._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "keops_kernel": {"KeOpsKernel": KeOpsKernel},
+    "rbf_kernel": {"RBFKernel": RBFKernel},
+    "matern_kernel": {"MaternKernel": MaternKernel},
+    "periodic_kernel": {"PeriodicKernel": PeriodicKernel},
+})

@@ -273,3 +273,15 @@ class GaussianSymmetrizedKLKernel(DistributionalInputKernel):
 
     def __init__(self, **kwargs):
         super().__init__(distance_function=_symmetrized_kl_distance, **kwargs)
+
+
+def hamming_dist(x1, x2, x1_eq_x2: bool = False):
+    """Pairwise Hamming distances of one-hot sequences (reference: hamming_kernel.py:155-160)."""
+    res = x1.shape[-2] - jnp.sum(x1[..., :, None, :, :] * x2[..., None, :, :, :], axis=(-1, -2))
+    return jnp.maximum(res, 0.0)
+
+
+def project_onto_unit_sphere(x):
+    """Inverse stereographic projection (reference: spherical_linear_kernel.py:22-25)."""
+    x_sq_norm = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return jnp.concatenate([2 * x, x_sq_norm - 1.0], axis=-1) / (1.0 + x_sq_norm)

@@ -25,6 +25,13 @@ def _maybe_last_dim_batch(x1, x2, last_dim_is_batch):
     return x1, x2
 
 
+def postprocess_rbf(dist_mat):
+    """exp(-d2/2) (reference: rbf_kernel.py:10-11)."""
+    import jax.numpy as jnp
+
+    return jnp.exp(dist_mat / -2.0)
+
+
 class RBFKernel(Kernel):
     """k(x, x') = exp(−½‖(x−x')/ℓ‖²) (reference: gpytorch/kernels/rbf_kernel.py:14)."""
 

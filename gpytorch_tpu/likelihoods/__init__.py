@@ -50,3 +50,33 @@ __all__ = [
     "_GaussianLikelihoodBase",
     "_OneDimensionalLikelihood",
 ]
+
+
+# -- reference one-file-per-likelihood import paths ---------------------------------------
+from .._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "bernoulli_likelihood": {"BernoulliLikelihood": BernoulliLikelihood},
+    "beta_likelihood": {"BetaLikelihood": BetaLikelihood},
+    "gaussian_likelihood": {
+        "GaussianLikelihood": GaussianLikelihood,
+        "GaussianLikelihoodWithMissingObs": GaussianLikelihoodWithMissingObs,
+        "FixedNoiseGaussianLikelihood": FixedNoiseGaussianLikelihood,
+        "DirichletClassificationLikelihood": DirichletClassificationLikelihood,
+    },
+    "hadamard_gaussian_likelihood": {"HadamardGaussianLikelihood": HadamardGaussianLikelihood},
+    "laplace_likelihood": {"LaplaceLikelihood": LaplaceLikelihood},
+    "likelihood": {"Likelihood": Likelihood},
+    "likelihood_list": {"LikelihoodList": LikelihoodList},
+    "multitask_gaussian_likelihood": {"MultitaskGaussianLikelihood": MultitaskGaussianLikelihood},
+    "negative_binomial_likelihood": {"NegativeBinomialLikelihood": NegativeBinomialLikelihood},
+    "noise_models": {
+        "HomoskedasticNoise": HomoskedasticNoise,
+        "MultitaskHomoskedasticNoise": MultitaskHomoskedasticNoise,
+        "HeteroskedasticNoise": HeteroskedasticNoise,
+        "FixedGaussianNoise": FixedGaussianNoise,
+    },
+    "poisson_likelihood": {"PoissonLikelihood": PoissonLikelihood},
+    "softmax_likelihood": {"SoftmaxLikelihood": SoftmaxLikelihood},
+    "student_t_likelihood": {"StudentTLikelihood": StudentTLikelihood},
+})

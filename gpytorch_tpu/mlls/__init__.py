@@ -29,3 +29,25 @@ __all__ = [
     "VariationalELBO",
     "_ApproximateMarginalLogLikelihood",
 ]
+
+
+# -- reference one-file-per-MLL import paths ----------------------------------------------
+from .._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "added_loss_term": {"AddedLossTerm": AddedLossTerm},
+    "deep_approximate_mll": {"DeepApproximateMLL": DeepApproximateMLL},
+    "deep_predictive_log_likelihood": {"DeepPredictiveLogLikelihood": DeepPredictiveLogLikelihood},
+    "exact_marginal_log_likelihood": {"ExactMarginalLogLikelihood": ExactMarginalLogLikelihood},
+    "gamma_robust_variational_elbo": {"GammaRobustVariationalELBO": GammaRobustVariationalELBO},
+    "inducing_point_kernel_added_loss_term": {
+        "InducingPointKernelAddedLossTerm": InducingPointKernelAddedLossTerm
+    },
+    "kl_gaussian_added_loss_term": {"KLGaussianAddedLossTerm": KLGaussianAddedLossTerm},
+    "leave_one_out_pseudo_likelihood": {"LeaveOneOutPseudoLikelihood": LeaveOneOutPseudoLikelihood},
+    "marginal_log_likelihood": {"MarginalLogLikelihood": MarginalLogLikelihood},
+    "noise_model_added_loss_term": {"NoiseModelAddedLossTerm": NoiseModelAddedLossTerm},
+    "predictive_log_likelihood": {"PredictiveLogLikelihood": PredictiveLogLikelihood},
+    "sum_marginal_log_likelihood": {"SumMarginalLogLikelihood": SumMarginalLogLikelihood},
+    "variational_elbo": {"VariationalELBO": VariationalELBO},
+})

@@ -101,3 +101,17 @@ class BayesianGPLVM(ApproximateGP):
 
     def sample_latent_variable(self, key: Optional[jax.Array] = None):
         return self.X(key=key)
+
+
+# -- reference import paths (gpytorch/models/gplvm/) --------------------------------------
+from .._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "bayesian_gplvm": {"BayesianGPLVM": BayesianGPLVM},
+    "latent_variable": {
+        "LatentVariable": LatentVariable,
+        "PointLatentVariable": PointLatentVariable,
+        "MAPLatentVariable": MAPLatentVariable,
+        "VariationalLatentVariable": VariationalLatentVariable,
+    },
+})

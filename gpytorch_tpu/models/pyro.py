@@ -168,3 +168,12 @@ class NumPyroGP(ApproximateGP):
 
 # reference-name alias
 PyroGP = NumPyroGP
+
+
+# -- reference import paths (gpytorch/models/pyro/) ---------------------------------------
+from .._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "pyro_gp": {"PyroGP": PyroGP, "NumPyroGP": NumPyroGP},
+    "_pyro_mixin": {"_PyroMixin": _PyroMixin} if "_PyroMixin" in dir() else {},
+})

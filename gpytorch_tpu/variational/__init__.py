@@ -52,3 +52,37 @@ __all__ = [
     "_VariationalDistribution",
     "_VariationalStrategy",
 ]
+
+
+# -- reference one-file-per-strategy import paths -----------------------------------------
+from .._submodule_alias import install_submodule_aliases as _install
+
+_install(__name__, {
+    "additive_grid_interpolation_variational_strategy": {
+        "AdditiveGridInterpolationVariationalStrategy": AdditiveGridInterpolationVariationalStrategy
+    },
+    "batch_decoupled_variational_strategy": {
+        "BatchDecoupledVariationalStrategy": BatchDecoupledVariationalStrategy
+    },
+    "cholesky_variational_distribution": {
+        "CholeskyVariationalDistribution": CholeskyVariationalDistribution
+    },
+    "delta_variational_distribution": {"DeltaVariationalDistribution": DeltaVariationalDistribution},
+    "independent_multitask_variational_strategy": {
+        "IndependentMultitaskVariationalStrategy": IndependentMultitaskVariationalStrategy,
+        "MultitaskVariationalStrategy": MultitaskVariationalStrategy,
+    },
+    "lmc_variational_strategy": {"LMCVariationalStrategy": LMCVariationalStrategy},
+    "mean_field_variational_distribution": {
+        "MeanFieldVariationalDistribution": MeanFieldVariationalDistribution
+    },
+    "orthogonally_decoupled_variational_strategy": {
+        "OrthogonallyDecoupledVariationalStrategy": OrthogonallyDecoupledVariationalStrategy
+    },
+    "tril_natural_variational_distribution": {
+        "TrilNaturalVariationalDistribution": TrilNaturalVariationalDistribution
+    },
+    "unwhitened_variational_strategy": {
+        "UnwhitenedVariationalStrategy": UnwhitenedVariationalStrategy
+    },
+})
