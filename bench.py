@@ -158,9 +158,20 @@ def main():
     final.train_inputs = (train_x,)
     final.train_targets = train_y
     final = final.eval()
+    import os as _os
+
+    # Eval runs UNPRECONDITIONED: at f32 the Woodbury/eigenspace preconditioner apply has
+    # intrinsic relative noise ~eps*cond(P) (~1e-2 at N=100k, cond 1e5); A amplifies that
+    # noise lambda_max-fold, so preconditioned CG steps shrink to nothing and the solve
+    # stalls at O(1) true residual while plain CG reaches 1e-3 in ~290 iterations.
+    # (A tau-regularized preconditioner P = LL^T + tau*I with tau ~ eps*lambda_max/tol
+    # would bound the noise floor and is the known fix if eval cost ever matters.)
+    _eval_pc = int(_os.environ.get("BENCH_EVAL_PC", "0"))
+    _eval_ir = int(_os.environ.get("BENCH_EVAL_IR", "0"))
     with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
-         gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(0), \
+         gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(_eval_pc), \
          gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
+         gp.settings.solve_iterative_refinements(_eval_ir), \
          gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(100), \
          gp.settings.skip_posterior_variances(False):
         pred = final.likelihood(final(test_x))

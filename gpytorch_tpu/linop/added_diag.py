@@ -71,31 +71,54 @@ class AddedDiagLinearOperator(LinearOperator):
         L = pivoted_cholesky(self.base, rank=k)  # (..., n, k)
         diag = self.diag_op._diag_values()
         dinv = 1.0 / diag  # (..., n)
-        # Woodbury: P⁻¹ v = D⁻¹v − D⁻¹L (I + Lᵀ D⁻¹ L)⁻¹ Lᵀ D⁻¹ v.
-        # Precision follows settings.preconditioner_highest_precision (see
-        # solvers/pivoted_cholesky.py for why the default is one-pass bf16).
+        # Whitened-eigenspace apply.  The textbook Woodbury
+        #   P⁻¹v = D⁻¹v − D⁻¹L (I + Lᵀ D⁻¹ L)⁻¹ Lᵀ D⁻¹ v
+        # is an f32 cancellation catastrophe at scale: cond(I + LᵀD⁻¹L) ≈ s_max²/σ² grows
+        # with N·outputscale/noise (≈1e5 at the N=100k bench), so cho_solve loses ~2 digits
+        # and the two O(1/σ²) terms cancel to garbage (measured on-chip: preconditioned CG
+        # stalled at true residual 0.6-1.0).  Instead eigendecompose in the whitened space,
+        #   Ũ = D^{-1/2}L = U S Wᵀ  ⇒  P⁻¹v = D^{-1/2}[w − U diag(s²/(1+s²)) Uᵀw],
+        # where every coefficient is in [0,1) and no ill-conditioned k×k solve appears.
+        # Precision of the n×k products follows settings.preconditioner_highest_precision,
+        # and tight-tolerance solves (kernel_matvec_highest) force it (a one-pass-bf16
+        # apply acts as a CHANGING preconditioner and stagnates CG above ~4e-3).
         _hp = (
             jax.lax.Precision.HIGHEST
-            if settings.preconditioner_highest_precision.on()
+            if settings.preconditioner_highest_precision.on() or settings.kernel_matvec_highest.on()
             else None
         )
-        dinv_L = L * dinv[..., :, None]
+        dsqrt_inv = jnp.sqrt(dinv)  # (..., n)
+        Lt = L * dsqrt_inv[..., :, None]  # D^{-1/2} L
+        # B = Ũᵀ Ũ is k×k — always HIGHEST, O(nk²) is negligible
+        B = jnp.matmul(
+            jnp.swapaxes(Lt, -1, -2), Lt, precision=jax.lax.Precision.HIGHEST
+        )
         eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-        cap = eye + jnp.matmul(jnp.swapaxes(L, -1, -2), dinv_L, precision=_hp)
         from ..solvers.cholesky import psd_safe_cholesky
 
-        Lc = psd_safe_cholesky(cap)
-
-        def apply_inv(v):
-            dv = v * dinv[..., :, None]
-            tmp = jnp.matmul(jnp.swapaxes(L, -1, -2), dv, precision=_hp)
-            tmp = jax.scipy.linalg.cho_solve((Lc, True), tmp)
-            return dv - jnp.matmul(dinv_L, tmp, precision=_hp)
-
-        # log|P| = log|cap| + log|D|
+        # log|P| = log|I + B| + log|D|  (Cholesky, differentiable — the VR logdet path
+        # needs gradients, and eigh VJPs NaN on degenerate spectra)
+        Lc = psd_safe_cholesky(eye + B, jitter=0.0, max_tries=1)
         logdet_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1) + jnp.sum(
             jnp.log(diag), axis=-1
         )
+
+        # apply path is never differentiated (CG preconditioning / stop-gradiented probe
+        # terms) — safe to eigh on a stop-gradient copy
+        B_sg = jax.lax.stop_gradient(B)
+        s2, W = jnp.linalg.eigh(B_sg)  # ascending
+        s2 = jnp.maximum(s2, 0.0)
+        s2_max = jnp.max(s2, axis=-1, keepdims=True)
+        active = s2 > 1e-12 * jnp.maximum(s2_max, 1e-30)
+        inv_s = jnp.where(active, 1.0 / jnp.sqrt(jnp.maximum(s2, 1e-30)), 0.0)
+        U = jnp.matmul(jax.lax.stop_gradient(Lt), W * inv_s[..., None, :], precision=_hp)
+        coef = jnp.where(active, s2 / (1.0 + s2), 0.0)  # (..., k), each in [0, 1)
+
+        def apply_inv(v):
+            w = v * dsqrt_inv[..., :, None]
+            u = jnp.matmul(jnp.swapaxes(U, -1, -2), w, precision=_hp)
+            out = w - jnp.matmul(U, coef[..., :, None] * u, precision=_hp)
+            return out * dsqrt_inv[..., :, None]
         from .root import LowRankRootAddedDiagLinearOperator, RootLinearOperator
 
         precond_op = LowRankRootAddedDiagLinearOperator(RootLinearOperator(L), self.diag_op)

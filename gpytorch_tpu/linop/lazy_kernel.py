@@ -220,4 +220,9 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         return super().__getitem__(index)
 
     def add_jitter(self, jitter_val: float = 1e-3):
-        return self.evaluate_kernel().add_jitter(jitter_val)
+        res = self.evaluate_kernel()
+        if res is self:
+            # over the eager-size policy threshold (evaluate_kernel kept the operator
+            # lazy) — wrap directly instead of recursing forever
+            return super().add_jitter(jitter_val)
+        return res.add_jitter(jitter_val)

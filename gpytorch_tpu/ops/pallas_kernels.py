@@ -117,8 +117,15 @@ def _d2_tile(a, bt_or_b, d: int, direct: bool):
 
 
 # max rhs columns per pallas_call: v tile (BM, T) + out tile (BN, T) must fit VMEM with
-# double buffering (16 MB scoped limit on v5e)
+# double buffering (16 MB scoped limit on v5e).  The 6-pass HIGHEST product needs ~2.5x
+# the scratch of the one-pass product, so its chunk is one 128-lane tile.
 _MAX_T = 256
+
+
+def _max_t():
+    from .. import settings
+
+    return 128 if settings.kernel_matvec_highest.on() else _MAX_T
 
 
 def _matvec_pallas(x1, x2, v, kernel_type: int):
@@ -126,9 +133,10 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
 
     from .. import settings
 
-    if v.shape[1] > _MAX_T:
+    max_t = _max_t()
+    if v.shape[1] > max_t:
         return jnp.concatenate(
-            [_matvec_pallas(x1, x2, v[:, i : i + _MAX_T], kernel_type) for i in range(0, v.shape[1], _MAX_T)],
+            [_matvec_pallas(x1, x2, v[:, i : i + max_t], kernel_type) for i in range(0, v.shape[1], max_t)],
             axis=1,
         )
     n, d = x1.shape
@@ -197,11 +205,12 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
 def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
     from jax.experimental import pallas as pl
 
-    if v.shape[1] > _MAX_T:
+    max_t = _max_t()
+    if v.shape[1] > max_t:
         # dX contributions are additive over rhs-column chunks (W = k'·(g vᵀ) is a sum)
         total = None
-        for i in range(0, v.shape[1], _MAX_T):
-            part = _grad_x_pallas(x1, x2, g[:, i : i + _MAX_T], v[:, i : i + _MAX_T], kernel_type)
+        for i in range(0, v.shape[1], max_t):
+            part = _grad_x_pallas(x1, x2, g[:, i : i + max_t], v[:, i : i + max_t], kernel_type)
             total = part if total is None else total + part
         return total
     n, d = x1.shape
@@ -328,9 +337,10 @@ def _periodic_matvec_pallas(x1p, x2p, w, v):
 
     from .. import settings
 
-    if v.shape[1] > _MAX_T:
+    max_t = _max_t()
+    if v.shape[1] > max_t:
         return jnp.concatenate(
-            [_periodic_matvec_pallas(x1p, x2p, w, v[:, i : i + _MAX_T]) for i in range(0, v.shape[1], _MAX_T)],
+            [_periodic_matvec_pallas(x1p, x2p, w, v[:, i : i + max_t]) for i in range(0, v.shape[1], max_t)],
             axis=1,
         )
     n, d = x1p.shape

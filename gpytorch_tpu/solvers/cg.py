@@ -109,9 +109,18 @@ def linear_cg(
         k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, since = state
         Ap = matmul_fn(p)
         pAp = _reduce_sum(p * Ap, -2)  # (..., t)
-        safe_pAp = jnp.where(jnp.abs(pAp) < eps, jnp.ones_like(pAp), pAp)
+        # Positivity guards must be RELATIVE: A and P are SPD, so pᵀAp > 0 and rᵀP⁻¹r > 0
+        # in exact arithmetic — but finite-precision preconditioner applies (f32 Woodbury
+        # at cond(P)~1e5 on TPU) break A-conjugacy, driving pAp toward 0/negative, which
+        # explodes α, blows up x, and silently decouples the recurrence residual from
+        # b − Ax (measured: "converged" solves with true residual ~1).  A column whose
+        # curvature is below noise level freezes for this step and restarts from steepest
+        # descent (β masked to 0 ⇒ p ← z) on the next.
+        _rel = 10.0 * jnp.finfo(dt).eps
+        pAp_floor = _rel * _col_norm(p) * _col_norm(Ap)
+        krylov_dead = jnp.logical_or(pAp <= pAp_floor, rz <= 0.0)
+        safe_pAp = jnp.where(krylov_dead, jnp.ones_like(pAp), pAp)
         alpha_raw = rz / safe_pAp
-        krylov_dead = jnp.logical_or(jnp.abs(pAp) < eps, rz < eps)
         alpha = jnp.where(jnp.logical_or(conv, krylov_dead), jnp.zeros_like(alpha_raw), alpha_raw)
 
         x = x + alpha[..., None, :] * p

@@ -30,7 +30,16 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
     shifted N=100k bench training trajectories (bisected: RMSE 0.18 → 0.43)."""
     from .. import settings
 
-    _prec = jax.lax.Precision.HIGHEST if settings.preconditioner_highest_precision.on() else None
+    # HIGHEST when explicitly requested OR when the solve path itself runs tight-tolerance
+    # (kernel_matvec_highest): a one-pass-bf16 preconditioner apply injects ~4e-3-level
+    # noise that acts as a CHANGING preconditioner, stagnating CG far above the eval
+    # tolerance (measured on-chip: rank-50 "converged" at true residual 0.66 in bf16 vs
+    # 9e-4 in HIGHEST, 26 iters).
+    _prec = (
+        jax.lax.Precision.HIGHEST
+        if settings.preconditioner_highest_precision.on() or settings.kernel_matvec_highest.on()
+        else None
+    )
     diag = linop._diagonal()  # (..., n)
     batch = diag.shape[:-1]
     n = diag.shape[-1]
