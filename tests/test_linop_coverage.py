@@ -164,3 +164,36 @@ def test_heteroskedastic_noise_model():
     out = model(x)
     marginal = main_lik.marginal(out, x[:, None])
     assert bool(jnp.all(jnp.isfinite(marginal.variance)))
+
+
+def test_preconditioner_apply_matches_dense_and_logdet_grads():
+    """Whitened-eigenspace Woodbury apply (linop/added_diag.py): P⁻¹v matches a dense
+    solve of P = LLᵀ + D, log|P| matches slogdet, and the log|P| gradient (consumed by
+    settings.precond_logdet_vr) is finite — regression net for the f32-stability rewrite."""
+    from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
+    from gpytorch_tpu.solvers.pivoted_cholesky import pivoted_cholesky
+
+    key = jax.random.PRNGKey(0)
+    n, d, k = 300, 3, 25
+    x = jax.random.uniform(key, (n, d))
+    kern = ScaleKernel(RBFKernel(ard_num_dims=d))
+    kern.outputscale = 0.072
+    kern.base_kernel.lengthscale = jnp.asarray([0.374, 0.312, 0.435])
+    noise = 0.0058  # ill-conditioned: cond(P) ~ lambda_max/noise
+    with gp.settings.max_preconditioner_size(k), gp.settings.min_preconditioning_size(1):
+        op = kern(x).evaluate_kernel().add_jitter(noise)
+        apply_inv, P_op, logdet_p = op._preconditioner()
+        L = pivoted_cholesky(kern(x).evaluate_kernel(), rank=k)
+        P = L @ L.T + noise * jnp.eye(n)
+        v = jax.random.normal(jax.random.PRNGKey(1), (n, 2))
+        np.testing.assert_allclose(
+            np.asarray(apply_inv(v)), np.asarray(jnp.linalg.solve(P, v)), atol=1e-6
+        )
+        np.testing.assert_allclose(float(logdet_p), float(jnp.linalg.slogdet(P)[1]), atol=1e-8)
+
+        def f(p):
+            oo = kern.with_params(p)(x).evaluate_kernel().add_jitter(noise)
+            return oo._preconditioner()[2]
+
+        g = jax.grad(f)(kern.trainable_params())
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g))
