@@ -70,6 +70,18 @@ class AddedDiagLinearOperator(LinearOperator):
 
         L = pivoted_cholesky(self.base, rank=k)  # (..., n, k)
         diag = self.diag_op._diag_values()
+        # τ-regularization (settings.preconditioner_noise_budget): bound cond(P) so the
+        # finite-precision apply noise (~eps·cond(P), amplified λ_max-fold by K̂ inside CG)
+        # stays below the requested budget.  P becomes LLᵀ + max(D, τ)I with
+        # τ = λ_max(LLᵀ)·eps/budget — consistent everywhere (apply, log|P|, probe draws).
+        budget = float(settings.preconditioner_noise_budget.value())
+        if budget > 0.0:
+            LtL = jnp.matmul(
+                jnp.swapaxes(L, -1, -2), L, precision=jax.lax.Precision.HIGHEST
+            )
+            mu = jnp.linalg.eigvalsh(jax.lax.stop_gradient(LtL))[..., -1]  # λ_max(LLᵀ)
+            tau = mu * (float(jnp.finfo(L.dtype).eps) / budget)
+            diag = jnp.maximum(diag, tau[..., None])
         dinv = 1.0 / diag  # (..., n)
         # Whitened-eigenspace apply.  The textbook Woodbury
         #   P⁻¹v = D⁻¹v − D⁻¹L (I + Lᵀ D⁻¹ L)⁻¹ Lᵀ D⁻¹ v
@@ -119,7 +131,9 @@ class AddedDiagLinearOperator(LinearOperator):
             u = jnp.matmul(jnp.swapaxes(U, -1, -2), w, precision=_hp)
             out = w - jnp.matmul(U, coef[..., :, None] * u, precision=_hp)
             return out * dsqrt_inv[..., :, None]
+        from .diag import DiagLinearOperator
         from .root import LowRankRootAddedDiagLinearOperator, RootLinearOperator
 
-        precond_op = LowRankRootAddedDiagLinearOperator(RootLinearOperator(L), self.diag_op)
+        diag_op = DiagLinearOperator(diag) if budget > 0.0 else self.diag_op
+        precond_op = LowRankRootAddedDiagLinearOperator(RootLinearOperator(L), diag_op)
         return apply_inv, precond_op, logdet_p

@@ -215,6 +215,20 @@ class precond_logdet_vr(_feature_flag):
     _default = False
 
 
+class preconditioner_noise_budget(_value_context):
+    """Relative accuracy budget of the preconditioner APPLY, used to τ-regularize P.
+
+    At f32, P⁻¹v carries relative noise ~eps·cond(P); A amplifies it λ_max-fold, so a
+    full-strength preconditioner with cond(P) ≈ λ_max/σ² ~ 1e5 stalls tight-tolerance CG
+    at O(1) true residual (measured at the N=100k bench).  With a budget b > 0 the
+    preconditioner is built as P_τ = LLᵀ + τI, τ = max(σ², λ_max·eps/b): cond(P_τ) ≤ b/eps,
+    bounding the apply-noise floor at ≈ b while still collapsing the top of the spectrum.
+    Costs ≈ √(τ/σ²) more CG iterations than an exact-arithmetic P — still far below
+    unpreconditioned.  0 (default) disables the regularization (exact P = LLᵀ + D)."""
+
+    _global_value = 0.0
+
+
 class preconditioner_highest_precision(_feature_flag):
     """Run the O(nk²) pivoted-Cholesky / Woodbury-preconditioner matmuls at
     Precision.HIGHEST instead of the TPU one-pass bf16 default.

@@ -197,3 +197,40 @@ def test_preconditioner_apply_matches_dense_and_logdet_grads():
 
         g = jax.grad(f)(kern.trainable_params())
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_preconditioner_noise_budget_regularizes():
+    """settings.preconditioner_noise_budget: P becomes LLᵀ + max(D, τ)I with
+    τ = λ_max·eps/budget — cond(P) is bounded while apply/logdet stay self-consistent
+    (the f32-TPU enabler for preconditioned eval; measured 37 vs 289 CG iters at N=100k)."""
+    from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
+
+    key = jax.random.PRNGKey(0)
+    n, d, k = 300, 3, 25
+    # f32: τ = λ_max·eps/budget scales with the working precision's eps — in f64 it
+    # correctly never engages (no regularization needed), so the test runs at f32
+    x = jax.random.uniform(key, (n, d), dtype=jnp.float32)
+    kern = ScaleKernel(RBFKernel(ard_num_dims=d, dtype=jnp.float32), dtype=jnp.float32)
+    kern.outputscale = 2.0
+    noise = 1e-5  # extreme conditioning so τ must engage
+    budget = 1e-3
+    with gp.settings.max_preconditioner_size(k), gp.settings.min_preconditioning_size(1), \
+         gp.settings.preconditioner_noise_budget(budget):
+        op = kern(x).evaluate_kernel().add_jitter(noise)
+        apply_inv, P_op, logdet_p = op._preconditioner()
+        P = P_op.to_dense()
+        # τ engaged: the diagonal regularization exceeds the raw noise
+        lam = jnp.linalg.eigvalsh(P)
+        assert float(lam[0]) > 10 * noise
+        # cond(P) ≤ budget / eps(dtype)
+        assert float(lam[-1] / lam[0]) < budget / float(jnp.finfo(P.dtype).eps) * 1.01
+        # apply and logdet are consistent with the SAME P_τ
+        v = jax.random.normal(jax.random.PRNGKey(1), (n, 2), dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(apply_inv(v)),
+            np.asarray(jnp.linalg.solve(P.astype(jnp.float64), v.astype(jnp.float64))),
+            rtol=1e-2, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            float(logdet_p), float(jnp.linalg.slogdet(P.astype(jnp.float64))[1]), atol=1e-2
+        )
