@@ -33,7 +33,6 @@ from .core.module import Module, RandomModuleMixin
 from .linop import to_dense, to_linear_operator
 from .solvers import psd_safe_cholesky
 
-__version__ = "0.1.0"
 
 
 # -------------------------------------------------------------------------------------

@@ -134,9 +134,12 @@ class FixedNoiseGaussianLikelihood(_GaussianLikelihoodBase):
             raise RuntimeError("FixedNoiseGaussianLikelihood.fantasize requires a `noise` kwarg")
         new_noise = jnp.asarray(kwargs["noise"])
         new = self.deepcopy()
-        new.noise_covar = FixedGaussianNoise(
-            jnp.concatenate([jnp.broadcast_to(self.noise_covar.noise, self.noise_covar.noise.shape), new_noise], axis=-1)
-        )
+        # expand the old noise to the NEW noise's batch shape before concatenating
+        # (reference gaussian_likelihood.py:332-334), so a batched `noise` kwarg works
+        old_noise = self.noise_covar.noise
+        if new_noise.ndim > old_noise.ndim:
+            old_noise = jnp.broadcast_to(old_noise, new_noise.shape[:-1] + old_noise.shape[-1:])
+        new.noise_covar = FixedGaussianNoise(jnp.concatenate([old_noise, new_noise], axis=-1))
         return new
 
     def _shaped_noise_covar(self, base_shape, *params, **kwargs):

@@ -118,6 +118,50 @@ class _NumPyroPriorDist:  # pragma: no cover - needs numpyro
         return _Adapter()
 
 
+class _PyroMixin:
+    """NumPyro analogue of the reference ``_PyroMixin``
+    (gpytorch/models/pyro/_pyro_mixin.py:9): ``pyro_guide``/``pyro_model`` register the
+    inducing-value sample site plus prior/added-loss factors, and return the function
+    distribution over ``input``.  Mixed into ``ApproximateGP`` subclasses that want to be
+    driven by a NumPyro model instead of an ELBO objective."""
+
+    def pyro_guide(self, input, beta: float = 1.0, name_prefix: str = ""):
+        _require_numpyro()
+        # Inducing values q(u), beta-scaled
+        with _numpyro.handlers.scale(scale=beta):
+            vdist = self.variational_strategy.variational_distribution
+            _numpyro.sample(
+                name_prefix + ".u",
+                _numpyro_dist.Normal(vdist.mean, jnp.sqrt(vdist.variance)).to_event(1),
+            )
+        # q(f) over the inputs
+        function_dist = self(input, prior=False)
+        return _numpyro_dist.Normal(function_dist.mean, jnp.sqrt(function_dist.variance)).to_event(1)
+
+    def pyro_model(self, input, beta: float = 1.0, name_prefix: str = ""):
+        _require_numpyro()
+        # Inducing values p(u), beta-scaled
+        with _numpyro.handlers.scale(scale=beta):
+            pdist = self.variational_strategy.prior_distribution(model=self)
+            u_samples = _numpyro.sample(
+                name_prefix + ".u",
+                _numpyro_dist.Normal(pdist.mean, jnp.sqrt(pdist.variance)).to_event(1),
+            )
+        # registered-prior log-prob factor (reference _pyro_mixin.py:31-36)
+        log_prior = jnp.zeros((), dtype=u_samples.dtype)
+        for _, module, prior, closure, _ in self.named_priors():
+            log_prior = log_prior + jnp.sum(prior.log_prob(closure(module)))
+        _numpyro.factor(name_prefix + ".log_prior", log_prior)
+        # added-loss-term factor (reference _pyro_mixin.py:38-42)
+        added_loss = jnp.zeros((), dtype=u_samples.dtype)
+        for added_loss_term in self.added_loss_terms():
+            added_loss = added_loss + jnp.sum(added_loss_term.loss())
+        _numpyro.factor(name_prefix + ".added_loss", added_loss)
+        # p(f) over the inputs
+        function_dist = self(input, prior=True)
+        return _numpyro_dist.Normal(function_dist.mean, jnp.sqrt(function_dist.variance)).to_event(1)
+
+
 class NumPyroGP(ApproximateGP):
     """Variational GP pluggable into NumPyro SVI (reference PyroGP,
     models/pyro/pyro_gp.py:11).
@@ -175,5 +219,5 @@ from .._submodule_alias import install_submodule_aliases as _install
 
 _install(__name__, {
     "pyro_gp": {"PyroGP": PyroGP, "NumPyroGP": NumPyroGP},
-    "_pyro_mixin": {"_PyroMixin": _PyroMixin} if "_PyroMixin" in dir() else {},
+    "_pyro_mixin": {"_PyroMixin": _PyroMixin},
 })

@@ -511,6 +511,13 @@ class SolverConfig:
     skip_logdet_forward: bool = False
     deterministic_probes: bool = False
     precond_logdet_vr: bool = False
+    # preconditioner/matvec numerics — captured so custom-VJP backwards (traced outside
+    # the caller's ``with`` contexts) rebuild P and run matvecs with the call-time flags
+    preconditioner_noise_budget: float = 0.0
+    preconditioner_highest_precision: bool = False
+    use_pallas: bool = True
+    kernel_matvec_bf16: bool = False
+    kernel_matvec_highest: bool = False
 
 
 def snapshot(dtype=None) -> SolverConfig:
@@ -532,4 +539,9 @@ def snapshot(dtype=None) -> SolverConfig:
         skip_logdet_forward=bool(skip_logdet_forward.on()),
         deterministic_probes=bool(deterministic_probes.on()),
         precond_logdet_vr=bool(precond_logdet_vr.on()),
+        preconditioner_noise_budget=float(preconditioner_noise_budget.value()),
+        preconditioner_highest_precision=bool(preconditioner_highest_precision.on()),
+        use_pallas=bool(use_pallas.on()),
+        kernel_matvec_bf16=bool(kernel_matvec_bf16.on()),
+        kernel_matvec_highest=bool(kernel_matvec_highest.on()),
     )

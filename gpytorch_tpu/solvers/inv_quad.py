@@ -42,10 +42,15 @@ class _IQConfig:
     tolerance: float
     skip_logdet_forward: bool
     precond_logdet_vr: bool = False
-    # preconditioner knobs captured at call time: the custom-VJP backward is traced AFTER
-    # the caller's settings contexts have exited, so it must not read ambient settings
+    # preconditioner/matvec knobs captured at call time: the custom-VJP backward is traced
+    # AFTER the caller's settings contexts have exited, so it must not read ambient settings
     pc_rank: int = 15
     pc_min_size: int = 2000
+    pc_noise_budget: float = 0.0
+    pc_highest: bool = False
+    use_pallas: bool = True
+    mv_bf16: bool = False
+    mv_highest: bool = False
 
 
 # Host-level probe counter: when no explicit key is given and deterministic_probes is off,
@@ -95,6 +100,11 @@ def inv_quad_logdet_mbcg(
         precond_logdet_vr=bool(getattr(sc, "precond_logdet_vr", False)),
         pc_rank=int(sc.max_preconditioner_size),
         pc_min_size=int(sc.min_preconditioning_size),
+        pc_noise_budget=float(getattr(sc, "preconditioner_noise_budget", 0.0)),
+        pc_highest=bool(getattr(sc, "preconditioner_highest_precision", False)),
+        use_pallas=bool(getattr(sc, "use_pallas", True)),
+        mv_bf16=bool(getattr(sc, "kernel_matvec_bf16", False)),
+        mv_highest=bool(getattr(sc, "kernel_matvec_highest", False)),
     )
     n = linop.shape[-1]
     if has_rhs:
@@ -260,9 +270,17 @@ def _mbcg_bwd(cfg, residuals, g):
             total = total + jnp.sum(g_ld * est)
         return total
 
-    # re-enter the call-time preconditioner knobs: scalar_fn is traced HERE, outside the
-    # caller's settings contexts, and the VR branch rebuilds P via lo._preconditioner()
-    with settings.max_preconditioner_size(cfg.pc_rank), settings.min_preconditioning_size(cfg.pc_min_size):
+    # re-enter ALL call-time preconditioner/matvec knobs: scalar_fn is traced HERE, outside
+    # the caller's settings contexts — the VR branch rebuilds P via lo._preconditioner(),
+    # and lo._matmul reads the pallas/precision flags at trace time.  Without this the
+    # backward's numerics silently follow whatever flags are ambient at bwd-trace time
+    # (e.g. an f32 backward matvec under a bf16-trained forward, or a VR d log|P| built
+    # from an un-τ-regularized P — a biased gradient).
+    with settings.max_preconditioner_size(cfg.pc_rank), settings.min_preconditioning_size(cfg.pc_min_size), \
+            settings.preconditioner_noise_budget(cfg.pc_noise_budget), \
+            settings.preconditioner_highest_precision(cfg.pc_highest), \
+            settings.use_pallas(cfg.use_pallas), settings.kernel_matvec_bf16(cfg.mv_bf16), \
+            settings.kernel_matvec_highest(cfg.mv_highest):
         _, vjp = jax.vjp(scalar_fn, linop)
     (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
 
