@@ -45,6 +45,7 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st = contextlib.ExitStack()
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(100))
+    st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "10"))))
     st.enter_context(
         gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", "20")))
@@ -138,10 +139,20 @@ def main():
     state = opt.init(params)
     pkey = jax.random.PRNGKey(2)
 
+    import os as _osv
+
+    _verbose = _osv.environ.get("BENCH_VERBOSE", "0") == "1"
+
+    def _t(msg):
+        if _verbose:
+            print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+    _T0 = time.time()
     p, s = params, state
     pkey, sub = jax.random.split(pkey)
     p, s, loss = step(p, s, sub)
     _sync(loss)  # compile + one step
+    _t("train step compiled")
 
     n_timed = 8
     times = []
@@ -164,6 +175,7 @@ def main():
         pkey, sub = jax.random.split(pkey)
         p, s, loss = step(p, s, sub)
     _sync(loss)
+    _t(f"training done ({_total_steps} steps), median {s_per_iter:.3f} s/iter")
 
     # -- eval: posterior RMSE / NLL at the flagship config ---------------------------------
     # mean: one tight CG solve (HIGHEST-precision K·V product — one-pass TPU rounding
@@ -189,11 +201,15 @@ def main():
          gp.settings.skip_posterior_variances(False):
         pred = final.likelihood(final(test_x))
         rmse = float(jnp.sqrt(mean_squared_error(pred, test_y)))
-        # the NLPD is a 2048-dim marginal log_prob — run its mBCG unpreconditioned (the
-        # f32 pivoted-Cholesky of the posterior covariance (K_tt − LOVE root) NaNs on TPU;
-        # at this size the plain path is exact enough and cheap)
-        with gp.settings.max_preconditioner_size(0):
+        _t(f"eval rmse done: {rmse:.4f}")
+        # the NLPD is a 2048-dim marginal log_prob; its covariance (K_tt − LOVE root) is
+        # numerically rank-deficient — the rank-truncation guard in pivoted_cholesky
+        # handles it on TPU (regression: tests/test_linop_coverage.py; BENCH_NLL_PC=0
+        # falls back to the old unpreconditioned workaround for comparison)
+        _nll_pc = int(_os.environ.get("BENCH_NLL_PC", "0"))
+        with gp.settings.max_preconditioner_size(_nll_pc):
             nll = float(negative_log_predictive_density(pred, test_y))
+        _t(f"eval nll done: {nll:.4f}")
 
     # -- MFU estimate from MEASURED CG iterations (stagnation exit makes the configured
     # budget a loose upper bound) ------------------------------------------------------------
@@ -206,8 +222,15 @@ def main():
         with _solver_ctx(gp):
             mvn = m.likelihood.marginal(m(train_x))
             covar = mvn.lazy_covariance_matrix.evaluate_kernel()
+            apply_P, _, _ = covar._preconditioner()
             rhs = jax.random.normal(jax.random.PRNGKey(9), (N, t_cols), dtype=jnp.float32)
-            res = linear_cg(lambda v: covar._matmul(v), rhs, max_iter=100, n_tridiag_iter=20)
+            _ntri = 0 if _os.environ.get("BENCH_SKIP_LOGDET", "0") == "1" else int(
+                _os.environ.get("BENCH_NTRI", "20")
+            )
+            res = linear_cg(
+                lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
+                n_tridiag_iter=_ntri,
+            )
         return int(res.num_iters)
 
     import os as _os

@@ -180,7 +180,13 @@ class Kernel(Module):
             if not isinstance(mod, Kernel) or len(mod.batch_shape) == 0:
                 continue
             nb = len(mod.batch_shape)
-            for pname in mod._param_names + [
+            # only slice tensors that actually carry the batch dims (e.g. inducing_points
+            # of an InducingPointKernel stay unbatched under a batched kernel)
+            for pname in [
+                p for p in mod._param_names
+                if jnp.ndim(object.__getattribute__(mod, "__dict__")[p]) >= nb
+                and object.__getattribute__(mod, "__dict__")[p].shape[:nb] == tuple(mod.batch_shape)
+            ] + [
                 b for b in getattr(mod, "_buffer_names", [])
                 if object.__getattribute__(mod, "__dict__").get(b) is not None
                 and object.__getattribute__(mod, "__dict__")[b].shape[:nb] == tuple(mod.batch_shape)

@@ -18,8 +18,8 @@ from .kernel import Kernel
 class AdditiveStructureKernel(Kernel):
     """Sum of the base kernel applied to each input dimension (reference :10)."""
 
-    def __init__(self, base_kernel: Kernel, num_dims: int, active_dims=None):
-        super().__init__(active_dims=active_dims)
+    def __init__(self, base_kernel: Kernel, num_dims: int, active_dims=None, **kwargs):
+        super().__init__(active_dims=active_dims, **kwargs)
         self.base_kernel = base_kernel
         self.num_dims = int(num_dims)
 
@@ -42,8 +42,8 @@ class ProductStructureKernel(Kernel):
     """Product of the base kernel over input dimensions — enables SKIP
     (SKI per dimension × Hadamard product; reference :12)."""
 
-    def __init__(self, base_kernel: Kernel, num_dims: int, active_dims=None):
-        super().__init__(active_dims=active_dims)
+    def __init__(self, base_kernel: Kernel, num_dims: int, active_dims=None, **kwargs):
+        super().__init__(active_dims=active_dims, **kwargs)
         self.base_kernel = base_kernel
         self.num_dims = int(num_dims)
 

@@ -337,7 +337,9 @@ class LinearOperator(DictPyTree):
             iq_term = None
             if inv_quad_rhs is not None:
                 rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]
-                Linv_rhs = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+                from .triangular import _bcast_solve_triangular
+
+                Linv_rhs = _bcast_solve_triangular(L, rhs, lower=True)
                 iq_term = jnp.sum(Linv_rhs * Linv_rhs, axis=-2)
                 if reduce_inv_quad:
                     iq_term = jnp.sum(iq_term, axis=-1)

@@ -12,6 +12,23 @@ from jax.scipy.linalg import solve_triangular
 from .base import DenseLinearOperator, LinearOperator
 
 
+def _bcast_solve_triangular(a, b, lower):
+    """jax.scipy's solve_triangular requires equal batch ranks — broadcast both sides
+    (an unbatched K_ZZ factor against a batched rhs is routine in the batch-model SVGP
+    matrix, reference variational_test_case.py:268-299)."""
+    batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    a = jnp.broadcast_to(a, batch + a.shape[-2:])
+    b = jnp.broadcast_to(b, batch + b.shape[-2:])
+    return solve_triangular(a, b, lower=lower)
+
+
+def _bcast_cho_solve(L, b):
+    batch = jnp.broadcast_shapes(L.shape[:-2], b.shape[:-2])
+    L = jnp.broadcast_to(L, batch + L.shape[-2:])
+    b = jnp.broadcast_to(b, batch + b.shape[-2:])
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
 class TriangularLinearOperator(LinearOperator):
     def __init__(self, tri, upper: bool = False):
         self.tri = tri.to_dense() if isinstance(tri, LinearOperator) else jnp.asarray(tri)
@@ -40,7 +57,7 @@ class TriangularLinearOperator(LinearOperator):
         squeeze = rhs.ndim == 1
         if squeeze:
             rhs = rhs[:, None]
-        res = solve_triangular(self.tri, rhs, lower=not self.upper)
+        res = _bcast_solve_triangular(self.tri, rhs, lower=not self.upper)
         if lhs is not None:
             res = lhs @ res
         return res[..., 0] if squeeze else res
@@ -104,7 +121,7 @@ class CholLinearOperator(LinearOperator):
         squeeze = rhs.ndim == 1
         if squeeze:
             rhs = rhs[:, None]
-        res = jax.scipy.linalg.cho_solve((self.L, True), rhs)
+        res = _bcast_cho_solve(self.L, rhs)
         if lhs is not None:
             res = lhs @ res
         return res[..., 0] if squeeze else res
@@ -119,7 +136,7 @@ class CholLinearOperator(LinearOperator):
         iq = None
         if inv_quad_rhs is not None:
             rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]
-            Linv_rhs = solve_triangular(self.L, rhs, lower=True)
+            Linv_rhs = _bcast_solve_triangular(self.L, rhs, lower=True)
             iq = jnp.sum(Linv_rhs * Linv_rhs, axis=-2)
             if reduce_inv_quad:
                 iq = jnp.sum(iq, axis=-1)

@@ -127,6 +127,16 @@ class DefaultPredictionStrategy:
             return ZeroLinearOperator(*test_test_covar.shape, dtype=self.train_labels.dtype)
         test_train_covar = to_linear_operator(test_train_covar)
         test_test_covar = to_linear_operator(test_test_covar)
+        if settings.fast_pred_samples.on():
+            # LOVE fast sampling (reference :733-744 / settings.fast_pred_samples
+            # gpytorch/settings.py:225): return the posterior covariance directly as a
+            # low-rank ROOT operator, so every ``rsample`` is one (m_test × q) matvec —
+            # the Lanczos root runs once per test batch instead of once per sample call.
+            root = self.covar_cache  # (n, k)
+            C = test_train_covar.matmul(root)  # (..., m, k)
+            posterior = (test_test_covar + RootLinearOperator(C) * -1.0).evaluate_kernel()
+            sample_root = posterior.root_decomposition(method="lanczos").root.to_dense()
+            return RootLinearOperator(_maybe_detach(sample_root))
         if settings.fast_pred_var.on():
             # LOVE: Σ* = K** − (K*x R)(K*x R)ᵀ (reference :464-478)
             root = self.covar_cache  # (n, k)
@@ -196,6 +206,7 @@ class InterpolatedPredictionStrategy(DefaultPredictionStrategy):
         super().__init__(train_inputs, train_prior_dist, train_labels, likelihood)
         self._interp_mean_cache = None
         self._interp_covar_cache = None
+        self._interp_sample_cache = None
 
     def _train_interp(self):
         from ..linop import InterpolatedLinearOperator
@@ -237,6 +248,22 @@ class InterpolatedPredictionStrategy(DefaultPredictionStrategy):
             self._interp_covar_cache = _maybe_detach(base.matmul(wt_root))  # (m, k)
         return self._interp_covar_cache
 
+    @property
+    def interp_sample_cache(self):
+        """LOVE fast-sampling cache (reference :733-744): an inducing-space root S with
+        S Sᵀ ≈ K_UU − R̃ R̃ᵀ (R̃ = ``interp_covar_cache``), so the posterior covariance
+        over any test batch is the pure root  (W* S)(W* S)ᵀ  — a sample is one sparse
+        interp of an (m, q) matrix.  Test-independent: built once, reused for every test
+        batch and every sample draw (the 1.92 s → 0.02 s LOVE-sampling anchor)."""
+        if self._interp_sample_cache is None:
+            interp = self._train_interp()
+            base = interp.base  # K_UU
+            cache = self.interp_covar_cache  # (m, k)
+            inside = (base + RootLinearOperator(cache) * -1.0).evaluate_kernel()
+            root = inside.root_decomposition(method="lanczos").root.to_dense()  # (m, q)
+            self._interp_sample_cache = _maybe_detach(root)
+        return self._interp_sample_cache
+
     def exact_prediction(self, joint_mean, joint_covar):
         n = self.num_train
         test_mean = joint_mean[..., n:]
@@ -268,6 +295,10 @@ class InterpolatedPredictionStrategy(DefaultPredictionStrategy):
         from ..linop import InterpolatedLinearOperator as ILO
 
         test_test = ILO(base, idx, val)
+        if settings.fast_pred_samples.on():
+            # LOVE fast sampling (reference :795-806): posterior covar = (W* S)(W* S)ᵀ
+            root = left_interp(idx, val, self.interp_sample_cache)  # (n_test, q)
+            return RootLinearOperator(root)
         if settings.fast_pred_var.on():
             cache = self.interp_covar_cache  # (m, k)
             root = left_interp(idx, val, cache)  # (n_test, k)
@@ -356,6 +387,11 @@ class WiskiPredictionStrategy(InterpolatedPredictionStrategy):
             n_test = idx.shape[-2]
             return ZeroLinearOperator(*(idx.shape[:-2] + (n_test, n_test)), dtype=val.dtype)
         test_test = ILO(joint.base, idx, val)
+        if settings.fast_pred_samples.on():
+            # WISKI fast sampling (reference :795-805): posterior covar = (W* S)(W* S)ᵀ,
+            # S Sᵀ ≈ K_UU − P (built by the inherited interp_sample_cache)
+            root = left_interp(idx, val, self.interp_sample_cache)  # (n_test, q)
+            return RootLinearOperator(root)
         root = left_interp(idx, val, self.interp_covar_cache)  # (n_test, m)
         return (test_test + RootLinearOperator(root) * -1.0).evaluate_kernel()
 

@@ -34,6 +34,7 @@ try:  # pragma: no cover - optional dependency (not in the TPU image)
     _NUMPYRO_AVAILABLE = True
 except ImportError:
     _numpyro = None
+    _numpyro_dist = None
     _NUMPYRO_AVAILABLE = False
 
 

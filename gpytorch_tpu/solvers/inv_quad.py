@@ -69,6 +69,20 @@ def _resolve_probe_key(key: Optional[jax.Array], deterministic: Optional[bool] =
         if isinstance(key, int):
             return jax.random.PRNGKey(key)
         return key
+    if settings.debug.on() and isinstance(jnp.zeros(()), jax.core.Tracer):
+        # We are inside a jit trace with no explicit key: the counter below is baked into
+        # the compiled executable, so re-executions reuse the SAME probes.  Warn loudly
+        # (once per compile — warnings fire at trace time only).
+        import warnings
+
+        from ..utils.warnings import TracedProbeKeyWarning
+
+        warnings.warn(
+            "Drawing SLQ probe vectors inside jit without an explicit PRNG key: probes are "
+            "frozen into the compiled step and will NOT refresh across iterations. Pass "
+            "key= to the mll/inv_quad_logdet call (e.g. mll(output, y, key=step_key)).",
+            TracedProbeKeyWarning,
+        )
     _PROBE_COUNTER[0] += 1
     return jax.random.PRNGKey(_PROBE_COUNTER[0])
 

@@ -45,6 +45,14 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
     n = diag.shape[-1]
     rank = int(min(rank, n))
     dt = diag.dtype
+    # Rank-truncation guard: once the residual diagonal reaches the round-off floor of the
+    # ORIGINAL diagonal, the matrix is numerically exhausted — further columns are
+    # noise/denom amplifications (and, for near-singular posterior covariances K_tt − RRᵀ
+    # on TPU, a NaN factory: residual rows ~bf16 noise divided by √(~0) pivots).  Columns
+    # past that point are exactly zero, which is the correct rank-truncated factor.
+    # Healthy spectra never trip the guard (pivot ≫ floor), leaving bit-identical results.
+    eps = float(jnp.finfo(dt).eps)
+    stop_tol = jnp.maximum(jnp.asarray(jitter, dt), 10.0 * eps * jnp.max(diag, axis=-1))  # (...,)
 
     def step(carry, _):
         d, L, m = carry  # d: (..., n) residual diagonal; L: (..., n, rank); m: iter index
@@ -56,6 +64,9 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
         correction = jnp.einsum("...nk,...k->...n", L, L_pivot, precision=_prec)
         denom = jnp.sqrt(jnp.maximum(pivot_val, jitter))
         col = (row - correction) / denom[..., None]
+        live = (pivot_val > stop_tol)[..., None]  # (..., 1)
+        col = jnp.where(live, col, jnp.zeros_like(col))
+        col = jnp.where(jnp.isfinite(col), col, jnp.zeros_like(col))
         # force exact zero at the pivot-complement to keep d ≥ 0
         d_new = jnp.maximum(d - col * col, 0.0)
         d_new = jnp.where(jnp.arange(n) == pivot[..., None], jnp.zeros_like(d_new), d_new)

@@ -30,8 +30,6 @@ class BaseKernelTestCase(BaseTestCase):
     #: set False for dimension-fixed kernels (spectral mixture, index, ...) where slicing
     #: active dims changes the required constructor arguments
     supports_active_dims = True
-    #: set False for kernels that only operate unbatched on x (grid/structured inputs)
-    supports_batch_inputs = True
     #: set False for kernels that are not PSD over generic R^d inputs (e.g. Cosine over
     #: Euclidean distance in d > 1 — same caveat as the reference CosineKernel)
     check_psd = True
@@ -99,47 +97,44 @@ class BaseKernelTestCase(BaseTestCase):
             )
 
     def test_no_batch_kernel_single_batch_x_no_ard(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         self._check_batch(self.create_kernel_no_ard(), self.create_data_single_batch())
 
     def test_no_batch_kernel_double_batch_x_no_ard(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         self._check_batch(self.create_kernel_no_ard(), self.create_data_double_batch())
 
     def test_no_batch_kernel_double_batch_x_ard(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         kernel = self._ard_or_skip(num_dims=self.batch_input_dims)
         self._check_batch(kernel, self.create_data_double_batch())
 
     def test_smoke_single_batch_kernel_single_batch_x_no_ard(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         try:
             kernel = self.create_kernel_no_ard(batch_shape=(2,))
         except TypeError:
             pytest.skip("kernel does not accept batch_shape")
-        out = kernel(self.create_data_single_batch()).evaluate_kernel().to_dense()
-        assert out.shape[-3:] == (2, 3, 3)
+        x = self.create_data_single_batch()
+        o = kernel.num_outputs_per_input(x, x)
+        out = kernel(x).evaluate_kernel().to_dense()
+        n = x.shape[-2]
+        assert out.shape[-3:] == (2, n * o, n * o)
 
     def test_smoke_double_batch_kernel_double_batch_x_no_ard(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         try:
             kernel = self.create_kernel_no_ard(batch_shape=(3, 2))
         except TypeError:
             pytest.skip("kernel does not accept batch_shape")
-        out = kernel(self.create_data_double_batch()).evaluate_kernel().to_dense()
-        assert out.shape[-4:] == (3, 2, 50, 50)
+        x = self.create_data_double_batch()
+        o = kernel.num_outputs_per_input(x, x)
+        out = kernel(x).evaluate_kernel().to_dense()
+        n = x.shape[-2]
+        assert out.shape[-4:] == (3, 2, n * o, n * o)
 
     def test_smoke_double_batch_kernel_double_batch_x_ard(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         kernel = self._ard_or_skip(num_dims=self.batch_input_dims, batch_shape=(3, 2))
-        out = kernel(self.create_data_double_batch()).evaluate_kernel().to_dense()
-        assert out.shape[-4:] == (3, 2, 50, 50)
+        x = self.create_data_double_batch()
+        o = kernel.num_outputs_per_input(x, x)
+        out = kernel(x).evaluate_kernel().to_dense()
+        n = x.shape[-2]
+        assert out.shape[-4:] == (3, 2, n * o, n * o)
 
     # -- cross covariance & symmetry -------------------------------------------------------
     def test_cross_covar_shape_and_symmetry(self):
@@ -163,8 +158,6 @@ class BaseKernelTestCase(BaseTestCase):
 
     # -- getitem (reference :143-178) ----------------------------------------------------------
     def test_kernel_getitem_single_batch(self):
-        if not self.supports_batch_inputs:
-            pytest.skip("kernel does not support batched inputs")
         try:
             kernel = self.create_kernel_no_ard(batch_shape=(2,))
         except TypeError:

@@ -22,6 +22,17 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from ..linop.triangular import _bcast_solve_triangular
+
+
+def _bcast_solve_triangular_upper(a, b):
+    import jax.numpy as _jnp
+    from jax.scipy.linalg import solve_triangular as _st
+    batch = _jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    a = _jnp.broadcast_to(a, batch + a.shape[-2:])
+    b = _jnp.broadcast_to(b, batch + b.shape[-2:])
+    return _st(a, b, lower=False)
+
 from ..distributions import MultivariateNormal
 from ..linop import DenseLinearOperator, DiagLinearOperator, MatmulLinearOperator, SumLinearOperator
 from ..solvers.cholesky import psd_safe_cholesky
@@ -70,19 +81,23 @@ class LargeBatchVariationalStrategy(VariationalStrategy):
         L = psd_safe_cholesky(induc_induc_covar.to_dense())
 
         # mean: k_xZ L⁻ᵀ m  — ONE small (m×m) solve, then an (n×m)·m matvec
-        inv_chol_t_m = solve_triangular(jnp.swapaxes(L, -1, -2), inducing_values[..., None], lower=False)
+        inv_chol_t_m = _bcast_solve_triangular_upper(jnp.swapaxes(L, -1, -2), inducing_values[..., None])
         pred_mean = (jnp.swapaxes(induc_data_covar, -1, -2) @ inv_chol_t_m)[..., 0] + test_mean
 
         # grouped middle term L⁻ᵀ (S − I) L⁻¹ (m×m), to be sandwiched by K_xZ ... K_Zx
         eye = jnp.eye(num_induc, dtype=L.dtype)
         middle = -eye if variational_inducing_covar is None else variational_inducing_covar.to_dense() - eye
         Lt = jnp.swapaxes(L, -1, -2)
-        middle = solve_triangular(Lt, middle, lower=False)  # L⁻ᵀ (S − I)
-        middle = solve_triangular(Lt, jnp.swapaxes(middle, -1, -2), lower=False)  # L⁻ᵀ (S − I) L⁻¹ (symmetric)
+        middle = _bcast_solve_triangular_upper(Lt, middle)  # L⁻ᵀ (S − I)
+        middle = _bcast_solve_triangular_upper(Lt, jnp.swapaxes(middle, -1, -2))  # L⁻ᵀ (S − I) L⁻¹ (symmetric)
 
         if self.training:
             # ELBO only needs marginal variances — custom-VJP diagonal (reference :117-121)
-            var_update = quad_form_diagonal(middle, induc_data_covar)
+            bshape = jnp.broadcast_shapes(middle.shape[:-2], induc_data_covar.shape[:-2])
+            var_update = quad_form_diagonal(
+                jnp.broadcast_to(middle, bshape + middle.shape[-2:]),
+                jnp.broadcast_to(induc_data_covar, bshape + induc_data_covar.shape[-2:]),
+            )
             diag = data_data_covar.evaluate_kernel()._diagonal() + var_update
             pred_covar = DiagLinearOperator(diag)
         else:

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from ..linop.triangular import _bcast_cho_solve, _bcast_solve_triangular
+
 from .. import settings
 from ..distributions import MultivariateNormal
 from ..linop import (
@@ -44,10 +46,10 @@ def _pseudo_points_from(var_chol, var_mean, cov_diff, K_root, jitter_val, whiten
         cov_diff.shape[-1], dtype=cov_diff.dtype
     )
     Linner = psd_safe_cholesky(inner)
-    inner_solve = jax.scipy.linalg.cho_solve((Linner, True), Rt_S)
+    inner_solve = _bcast_cho_solve(Linner, Rt_S)
     pseudo_covar = S + S @ inner_solve
     rhs = jnp.swapaxes(cov_diff, -1, -2) @ m_vec
-    inner_mean_solve = jax.scipy.linalg.cho_solve((Linner, True), rhs)
+    inner_mean_solve = _bcast_cho_solve(Linner, rhs)
     if whitened:
         pseudo_covar = K_root @ pseudo_covar @ jnp.swapaxes(K_root, -1, -2)
         pseudo_mean = K_root @ inner_mean_solve
@@ -162,8 +164,9 @@ class UnwhitenedVariationalStrategy(_VariationalStrategy):
 
         L = psd_safe_cholesky(K_ZZ.to_dense())
         # A = K_ZZ⁻¹ K_Zx via two triangular solves
-        tmp = solve_triangular(L, K_Zx, lower=True)
-        A = solve_triangular(jnp.swapaxes(L, -1, -2), tmp, lower=False)  # (..., m, n)
+        tmp = _bcast_solve_triangular(L, K_Zx, lower=True)
+        Lt = jnp.broadcast_to(jnp.swapaxes(L, -1, -2), tmp.shape[:-2] + L.shape[-2:])
+        A = solve_triangular(Lt, tmp, lower=False)  # (..., m, n)
 
         pred_mean = test_mean + jnp.einsum("...mn,...m->...n", A, inducing_values - induc_mean)
 

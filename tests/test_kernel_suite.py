@@ -150,18 +150,25 @@ class TestArcKernel(BaseKernelTestCase):
 
 class TestHammingIMQKernel(BaseKernelTestCase):
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 8
 
     def create_kernel_no_ard(self, **kwargs):
         return K.HammingIMQKernel(vocab_size=4, **kwargs)
 
-    def create_data_no_batch(self):
+    def _one_hot(self, shape, seed=0):
         import jax
 
-        key = jax.random.PRNGKey(0)
-        idx = jax.random.randint(key, (12, 8), 0, 4)
-        return jax.nn.one_hot(idx, 4).reshape(12, -1)
+        idx = jax.random.randint(jax.random.PRNGKey(seed), shape, 0, 4)
+        return jax.nn.one_hot(idx, 4).reshape(shape[:-1] + (-1,))
+
+    def create_data_no_batch(self):
+        return self._one_hot((12, 8))
+
+    def create_data_single_batch(self):
+        return self._one_hot((2, 3, 2), seed=1)
+
+    def create_data_double_batch(self):
+        return self._one_hot((3, 2, 50, 2), seed=2)
 
     input_dims = 32  # 8 positions × vocab 4, one-hot
 
@@ -206,16 +213,25 @@ class TestGaussianSymmetrizedKLKernel(BaseKernelTestCase):
 
 class TestIndexKernel(BaseKernelTestCase):
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 1
+    batch_input_dims = 1
 
     def create_kernel_no_ard(self, **kwargs):
         return K.IndexKernel(num_tasks=4, rank=1, **kwargs)
 
-    def create_data_no_batch(self):
+    def _indices(self, shape, seed=0):
         import jax
 
-        return jax.random.randint(jax.random.PRNGKey(0), (20, 1), 0, 4).astype(jnp.float64)
+        return jax.random.randint(jax.random.PRNGKey(seed), shape, 0, 4).astype(jnp.float64)
+
+    def create_data_no_batch(self):
+        return self._indices((20, 1))
+
+    def create_data_single_batch(self):
+        return self._indices((2, 3, 1), seed=1)
+
+    def create_data_double_batch(self):
+        return self._indices((3, 2, 50, 1), seed=2)
 
     def test_kernel_symmetric_psd(self):
         kernel = self.create_kernel_no_ard()
@@ -236,7 +252,6 @@ class TestNewtonGirardAdditiveKernel(BaseKernelTestCase):
 class TestRBFKernelGrad(BaseKernelTestCase):
     supports_active_dims = False
     supports_diag = False
-    supports_batch_inputs = False
     input_dims = 2
     batch_input_dims = 2
 
@@ -250,7 +265,6 @@ class TestRBFKernelGrad(BaseKernelTestCase):
 class TestMatern52KernelGrad(BaseKernelTestCase):
     supports_active_dims = False
     supports_diag = False
-    supports_batch_inputs = False
     input_dims = 2
     batch_input_dims = 2
 
@@ -264,7 +278,6 @@ class TestMatern52KernelGrad(BaseKernelTestCase):
 class TestMultitaskKernel(BaseKernelTestCase):
     supports_active_dims = False
     supports_diag = False
-    supports_batch_inputs = False
     input_dims = 2
 
     def create_kernel_no_ard(self, **kwargs):
@@ -279,8 +292,8 @@ class TestGridKernel(BaseKernelTestCase):
     covered by tests/test_scalable_gp_regression.py."""
 
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 1
+    batch_input_dims = 1
 
     def create_kernel_no_ard(self, **kwargs):
         from gpytorch_tpu.utils.grid import create_grid
@@ -290,8 +303,8 @@ class TestGridKernel(BaseKernelTestCase):
 
 class TestGridInterpolationKernel(BaseKernelTestCase):
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 1
+    batch_input_dims = 1
 
     def create_kernel_no_ard(self, **kwargs):
         return K.GridInterpolationKernel(
@@ -301,7 +314,6 @@ class TestGridInterpolationKernel(BaseKernelTestCase):
 
 class TestInducingPointKernel(BaseKernelTestCase):
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 2
 
     def create_kernel_no_ard(self, **kwargs):
@@ -329,8 +341,8 @@ class TestInducingPointKernel(BaseKernelTestCase):
 
 class TestAdditiveStructureKernel(BaseKernelTestCase):
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 3
+    batch_input_dims = 3
 
     def create_kernel_no_ard(self, **kwargs):
         return K.AdditiveStructureKernel(K.RBFKernel(), num_dims=3, **kwargs)
@@ -338,8 +350,8 @@ class TestAdditiveStructureKernel(BaseKernelTestCase):
 
 class TestProductStructureKernel(BaseKernelTestCase):
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 3
+    batch_input_dims = 3
 
     def create_kernel_no_ard(self, **kwargs):
         return K.ProductStructureKernel(K.RBFKernel(), num_dims=3, **kwargs)
@@ -348,7 +360,6 @@ class TestProductStructureKernel(BaseKernelTestCase):
 class TestLCMKernel(BaseKernelTestCase):
     supports_active_dims = False
     supports_diag = False
-    supports_batch_inputs = False
     input_dims = 2
 
     def create_kernel_no_ard(self, **kwargs):
@@ -359,16 +370,25 @@ class TestLCMKernel(BaseKernelTestCase):
 
 
 class TestCylindricalKernel(BaseKernelTestCase):
-    """Inputs must lie in the unit ball (reference cylindrical_kernel.py domain)."""
+    """Inputs must lie in the unit ball (reference cylindrical_kernel.py domain; the
+    reference's own TestCylindricalKernel overrides create_data_* the same way)."""
 
     supports_active_dims = False
-    supports_batch_inputs = False
     input_dims = 2
+    batch_input_dims = 2
 
     def create_kernel_no_ard(self, **kwargs):
         return K.CylindricalKernel(num_angular_weights=3, radial_base_kernel=K.MaternKernel(nu=1.5), **kwargs)
 
-    def create_data_no_batch(self):
-        x = self.randn(50, self.input_dims)
+    def _ball(self, x):
         norms = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return 0.9 * x / jnp.maximum(norms, 1.0)
+
+    def create_data_no_batch(self):
+        return self._ball(self.randn(50, self.input_dims))
+
+    def create_data_single_batch(self):
+        return self._ball(self.randn(2, 3, self.batch_input_dims))
+
+    def create_data_double_batch(self):
+        return self._ball(self.randn(3, 2, 50, self.batch_input_dims))

@@ -105,6 +105,35 @@ def test_no_key_fresh_per_call(setup):
     assert l1 != l2, "without a key, successive (untraced) calls must draw fresh probes"
 
 
+def test_no_key_under_jit_warns_loudly(setup):
+    """A jitted objective that draws probes without an explicit key silently freezes them
+    into the executable — debug mode must warn at trace time (VERDICT r1 #8; reference
+    default is fresh probes every call, linear_operator semantics per SURVEY §2.1b)."""
+    import warnings
+
+    from gpytorch_tpu.utils.warnings import TracedProbeKeyWarning
+
+    model, x, y = setup
+    params = model.trainable_params()
+
+    @jax.jit
+    def loss(params):
+        m = model.with_params(params)
+        with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(4), \
+             gp.settings.max_cg_iterations(20), gp.settings.min_preconditioning_size(10**6):
+            mll = ExactMarginalLogLikelihood(m.likelihood, m)
+            return -mll(m(x), y)  # no key=
+
+    with pytest.warns(TracedProbeKeyWarning):
+        loss(params)
+
+    # with an explicit key there is no warning
+    loss2 = jax.jit(_grad_fn(model, x, y))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", TracedProbeKeyWarning)
+        loss2(params, jax.random.PRNGKey(3))
+
+
 def test_precond_logdet_vr_unbiased_and_lower_variance(setup):
     """Variance-reduced logdet gradients (arXiv 2107.00243, settings.precond_logdet_vr):
     with a pivoted-Cholesky preconditioner active, the VR estimator must stay unbiased
