@@ -198,3 +198,65 @@ def test_sharded_multitask_mll_matches_dense():
         sharded = make_sharded_mll(mesh, model)(params, x, y, key=jax.random.PRNGKey(0))
     dense = _dense_mll_fn(dense_model, x, y)(params)
     assert abs(float(sharded) - float(dense)) / abs(float(dense)) < 0.05, (float(sharded), float(dense))
+
+
+# ---------------------------------------------------------------------------------------
+# Scale + memory-claim leg (VERDICT r1 #9): N=32k over 8 devices — ring vs all_gather
+# equivalence at a size where the sharding does real work, plus a structural check of the
+# §5 claim that ring mode never materializes full X/V on any device.
+# ---------------------------------------------------------------------------------------
+
+
+def test_ring_mode_at_scale_and_memory_claim():
+    mesh = _mesh()
+    n_large, d = 32768, 3
+    k = jax.random.PRNGKey(11)
+    x = jax.random.normal(k, (n_large, d), dtype=jnp.float32)
+    y = jnp.sin(2 * x[:, 0]) + 0.05 * jax.random.normal(jax.random.PRNGKey(12), (n_large,))
+
+    def make(ring):
+        model = _ARDModel(
+            x, y, GaussianLikelihood(),
+            ShardedKernel(ScaleKernel(RBFKernel(ard_num_dims=d)), num_devices=8, ring=ring),
+        )
+        params = model.trainable_params()
+        mll_fn = make_sharded_mll(mesh, model)
+
+        def f(p):
+            with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(4), \
+                 gp.settings.max_cg_iterations(8), gp.settings.max_lanczos_quadrature_iterations(8), \
+                 gp.settings.min_preconditioning_size(10**9):
+                return -mll_fn(p, x, y, key=jax.random.PRNGKey(0))
+
+        return params, f
+
+    params, f_gather = make(ring=False)
+    _, f_ring = make(ring=True)
+
+    lowered_gather = jax.jit(f_gather).lower(params)
+    lowered_ring = jax.jit(f_ring).lower(params)
+    hlo_gather = lowered_gather.compile().as_text()
+    hlo_ring = lowered_ring.compile().as_text()
+
+    # structural memory claim: the gather path all-gathers X/V blocks; ring mode must
+    # contain only collective-permutes — no all-gather of a full-N operand anywhere
+    assert "all-gather" in hlo_gather
+    assert "collective-permute" in hlo_ring
+    assert "all-gather" not in hlo_ring, "ring mode must never gather full X/V"
+
+    # equivalence: identical CG trajectory (same probes, same reductions)
+    v_gather = float(jax.jit(f_gather)(params))
+    v_ring = float(jax.jit(f_ring)(params))
+    np.testing.assert_allclose(v_ring, v_gather, rtol=1e-5)
+
+    # peak-memory claim, quantitatively where the backend reports it: ring's per-device
+    # temp footprint must not exceed the gather path's (which holds full X + V copies)
+    try:
+        mem_gather = lowered_gather.compile().memory_analysis()
+        mem_ring = lowered_ring.compile().memory_analysis()
+        tg = getattr(mem_gather, "temp_size_in_bytes", None)
+        tr = getattr(mem_ring, "temp_size_in_bytes", None)
+    except Exception:
+        tg = tr = None
+    if tg and tr:
+        assert tr <= tg * 1.05, f"ring temp {tr} should not exceed gather temp {tg}"
