@@ -64,6 +64,12 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     )
     st.enter_context(gp.settings.use_pallas(use_pallas))
     st.enter_context(gp.settings.kernel_matvec_bf16(bf16))
+    if os.environ.get("BENCH_TRAIN_HIGHEST", "0") == "1":
+        # f32 6-pass K·V tiles in TRAINING too: kills the one-pass rounding floor that
+        # stalls CG at ~5e-3 relative residual (the suspected inv_quad-underestimate
+        # driver of the noise/outputscale scale collapse)
+        st.enter_context(gp.settings.kernel_matvec_bf16(False))
+        st.enter_context(gp.settings.kernel_matvec_highest(True))
     return st
 
 
@@ -247,10 +253,15 @@ def main():
     # -- baseline ratio: plain-XLA chunked path at reduced N (too slow at 100k) -------------
     nb = min(N, 20_000)
     if _os.environ.get("BENCH_FAST", "0") == "1":  # sweep mode: skip the ablation timing
+        fin = model.with_params(p)
         print(json.dumps({
             "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
             "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4),
             "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
+            "noise": round(float(jnp.ravel(fin.likelihood.noise)[0]), 5),
+            "outputscale": round(float(jnp.ravel(fin.covar_module.outputscale)[0]), 4),
+            "lengthscale": [round(float(v), 4) for v in
+                            jnp.ravel(fin.covar_module.base_kernel.lengthscale)],
         }))
         return
     try:

@@ -478,9 +478,17 @@ class kernel_matvec_bf16(_feature_flag):
     """Compute the K·V tile of the fused Pallas matvec in bfloat16 (f32 accumulation).
 
     2× MXU throughput on the CG hot loop; per-element rounding (~2⁻⁹ relative on kernel
-    values in [0,1]) is absorbed by CG's residual recurrences.  Opt-in for training; leave
-    off for tight-tolerance posterior evaluation.  No reference equivalent (TPU-specific;
-    closest knob is settings.linalg_dtypes / fast_computations)."""
+    values in [0,1]) is absorbed by CG's residual recurrences.  No reference equivalent
+    (TPU-specific; closest knob is settings.linalg_dtypes / fast_computations).
+
+    .. warning:: Measured on v5e at N=100k (d=3 RBF): the fused matvec is VPU/exp-bound, so
+       bf16 K·V tiles do NOT reduce wall-clock (~25 ms either way at t=33 columns) — but
+       their ~5e-3 rounding floor STALLS CG above the accuracy the BBMM training gradients
+       need, and the resulting yᵀK̂⁻¹y underestimate drives a joint noise/outputscale scale
+       collapse (measured: true MLL/N −3.3 at the collapsed point vs +0.27 at the optimum;
+       test NLL 1.26 vs −1.14).  For TRAINING, prefer ``kernel_matvec_highest`` with a
+       cg_tolerance of ~1e-3; use bf16 tiles only where solve accuracy provably doesn't
+       matter (e.g. preconditioner probes)."""
     _default = False
 
 
