@@ -6,16 +6,18 @@ plus test RMSE/NLL after a fixed Adam budget, and an MFU estimate.  The A100/KeO
 so the data is synthetic with the 3droad shape (d=3, standardized), and RMSE/NLL track the
 build's own quality across rounds.
 
-Flagship solver config (shared with __graft_entry__.entry): mBCG, max_cg_iterations=100 with
-stagnation early exit (window 5), 10 SLQ probes (fresh key per step), rank-15
-pivoted-Cholesky preconditioner, bf16 K·V Pallas tiles for training, f32-HIGHEST for eval.
-N=100k small-noise training is a knife-edge (truncated-CG bias pushes noise/outputscale
-toward collapse); this exact knob set is quality-measured on the chip (0.62 s/iter, RMSE
-0.180, NLL 1.43; window 10 gives NLL 1.36 at 0.74 s/iter).  Perturbing the probe stream in
-ANY way (probe count, stall window, preconditioner arithmetic) re-rolls the basin lottery —
-measured: probes 107 or preconditioner rank 40 land in an ill-conditioned basin with RMSE
-0.50.  Change knobs only with a quality re-measurement (BENCH_* env overrides exist for
-exactly that).
+Flagship solver config (validated on-chip 2026-08-17, sweep T2): mBCG with
+max_cg_iterations=100 + stagnation early exit (window 5), 32 SLQ probes (fresh key per
+step; free — the fused matvec is flat in rhs columns up to 128), 5 Lanczos tridiag
+iterations, rank-50 tau-regularized pivoted-Cholesky preconditioner (noise budget 1e-3),
+f32-HIGHEST K·V tiles for BOTH training and eval, 120 Adam steps.  One-pass bf16 training
+tiles stall CG at ~5e-3 relative residual, which biases the inv-quad term and collapses the
+noise under a long Adam budget (NLL 2.8-5.9 at 120 steps); HIGHEST training converges the
+noise toward truth instead: 1.198 s/iter, RMSE 0.1794, NLL -1.14 (the RMSE is AT the
+measured 0.18 oracle noise floor of this synthetic problem).  N=100k small-noise training
+remains a knife-edge — perturbing the probe stream in ANY way re-rolls the basin lottery —
+so change knobs only with a quality re-measurement (BENCH_* env overrides exist for exactly
+that).
 
 Prints ONE JSON line: {"metric", "value" (s/iter, lower better), "unit", "vs_baseline",
 "rmse", "nll", "mfu_pct"}.  ``vs_baseline`` = speedup of the fused-Pallas step over the
@@ -44,17 +46,17 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
 
     st = contextlib.ExitStack()
     st.enter_context(gp.settings.max_cholesky_size(0))
-    st.enter_context(gp.settings.max_cg_iterations(100))
+    st.enter_context(gp.settings.max_cg_iterations(int(os.environ.get("BENCH_MAXITER", "100"))))
     st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
-    st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "10"))))
+    st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "32"))))
     st.enter_context(
-        gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", "20")))
+        gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", "5")))
     )
-    st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "15"))))
+    st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "50"))))
     st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "5"))))
     st.enter_context(gp.settings.precond_logdet_vr(os.environ.get("BENCH_VR", "0") == "1"))
     st.enter_context(
-        gp.settings.preconditioner_noise_budget(float(os.environ.get("BENCH_BUDGET", "0")))
+        gp.settings.preconditioner_noise_budget(float(os.environ.get("BENCH_BUDGET", "1e-3")))
     )
     st.enter_context(
         gp.settings.skip_logdet_forward(os.environ.get("BENCH_SKIP_LOGDET", "0") == "1")
@@ -64,7 +66,7 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     )
     st.enter_context(gp.settings.use_pallas(use_pallas))
     st.enter_context(gp.settings.kernel_matvec_bf16(bf16))
-    if os.environ.get("BENCH_TRAIN_HIGHEST", "0") == "1":
+    if os.environ.get("BENCH_TRAIN_HIGHEST", "1") == "1":
         # f32 6-pass K·V tiles in TRAINING too: kills the one-pass rounding floor that
         # stalls CG at ~5e-3 relative residual (the suspected inv_quad-underestimate
         # driver of the noise/outputscale scale collapse)
@@ -115,7 +117,10 @@ def main():
     # Noise floor below the true level (standardized targets: σ²≈1.7e-2).  Without a floor
     # the tolerance-truncated CG underestimates yᵀK̂⁻¹y and the optimizer can collapse the
     # noise, exploding the conditioning.
-    lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(3e-3))
+    import os as _osf
+
+    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "3e-3"))
+    lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(_noise_floor))
     model = Model(train_x, train_y, lik)
     model.likelihood.noise = 0.1
     model.covar_module.base_kernel.lengthscale = 0.5
@@ -176,7 +181,7 @@ def main():
     # notebook's 25)
     import os as _os0
 
-    _total_steps = int(_os0.environ.get("BENCH_STEPS", "40"))
+    _total_steps = int(_os0.environ.get("BENCH_STEPS", "120"))
     for _ in range(_total_steps - 9):
         pkey, sub = jax.random.split(pkey)
         p, s, loss = step(p, s, sub)
@@ -231,7 +236,7 @@ def main():
             apply_P, _, _ = covar._preconditioner()
             rhs = jax.random.normal(jax.random.PRNGKey(9), (N, t_cols), dtype=jnp.float32)
             _ntri = 0 if _os.environ.get("BENCH_SKIP_LOGDET", "0") == "1" else int(
-                _os.environ.get("BENCH_NTRI", "20")
+                _os.environ.get("BENCH_NTRI", "5")
             )
             res = linear_cg(
                 lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
@@ -241,7 +246,7 @@ def main():
 
     import os as _os
 
-    t_cols = 1 + int(_os.environ.get("BENCH_PROBES", "10"))  # 1 rhs + probes
+    t_cols = 1 + int(_os.environ.get("BENCH_PROBES", "32"))  # 1 rhs + probes
     try:
         cg_iters_measured = _count_iters()
     except Exception:

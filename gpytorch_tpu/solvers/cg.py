@@ -46,12 +46,18 @@ def linear_cg(
     eps: float = 1e-10,
     axis_name: Optional[str] = None,
     global_n: Optional[int] = None,
+    x0: Optional[jax.Array] = None,
 ) -> CGResult:
     """Solve A x = rhs for all columns of rhs simultaneously.
 
     ``axis_name``: when running under ``shard_map`` with rows sharded over a mesh axis, pass
     the axis name — all inner products and norms are then ``psum``-reduced so every device
     runs an identical CG trajectory on its row block (the distributed mBCG of SURVEY §2.2).
+
+    ``x0``: optional warm-start iterate (same shape as ``rhs``, unnormalized).  Costs one
+    extra matvec to form the true initial residual.  Do not combine with
+    ``n_tridiag_iter > 0`` — the Lanczos tridiagonals for SLQ are only valid for a zero
+    initial guess (the Krylov space must start at the rhs).
     """
 
     def _reduce_sum(x, axis):
@@ -80,8 +86,14 @@ def linear_cg(
     rhs_norm = jnp.where(rhs_is_zero, jnp.ones_like(rhs_norm), rhs_norm)
     b = rhs / rhs_norm
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x0 is not None:
+        if n_tridiag_iter > 0:
+            raise ValueError("linear_cg: x0 warm start is incompatible with tridiag extraction")
+        x0 = x0 / rhs_norm
+        r0 = b - matmul_fn(x0)
+    else:
+        x0 = jnp.zeros_like(b)
+        r0 = b
     z0 = precond_fn(r0)
     p0 = z0
     rz0 = _reduce_sum(r0 * z0, -2)  # (..., t)

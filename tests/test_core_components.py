@@ -269,3 +269,26 @@ def test_linalg_dtypes_contexts():
         L32 = psd_safe_cholesky(A)
     assert L32.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(L32 @ L32.T), np.asarray(A), atol=2e-3)
+
+
+def test_linear_cg_warm_start():
+    # x0 warm start: exact-solution start exits at/below the cold iteration count with the
+    # same accuracy, and tridiag extraction rejects a warm start (Krylov space must start
+    # at the rhs for valid SLQ T matrices).
+    import pytest as _pytest
+
+    from gpytorch_tpu.solvers.cg import linear_cg
+
+    key = jax.random.PRNGKey(0)
+    A = jax.random.normal(key, (60, 60))
+    A = A @ A.T + 60 * jnp.eye(60)
+    b = jax.random.normal(jax.random.PRNGKey(1), (60, 3))
+    xs = jnp.linalg.solve(A, b)
+    cold = linear_cg(lambda v: A @ v, b, tolerance=1e-4, max_iter=100)
+    warm = linear_cg(lambda v: A @ v, b, tolerance=1e-4, max_iter=100, x0=xs)
+    assert int(warm.num_iters) <= int(cold.num_iters)
+    assert int(warm.num_iters) <= 2
+    assert jnp.max(jnp.abs(warm.solution - xs)) < 1e-3
+    assert jnp.max(jnp.abs(cold.solution - xs)) < 1e-3
+    with _pytest.raises(ValueError):
+        linear_cg(lambda v: A @ v, b, n_tridiag_iter=3, x0=xs)
