@@ -222,6 +222,37 @@ def main():
             nll = float(negative_log_predictive_density(pred, test_y))
         _t(f"eval nll done: {nll:.4f}")
 
+    # -- LOVE eval-latency anchors (BASELINE.md: KISS-GP exact covar 1.81 s → LOVE 0.14 s
+    # cached; sampling 1.92 s → 0.02 s cached).  Cold = first posterior-variance call
+    # (builds the rank-100 Lanczos root cache); cached = second call reusing the
+    # prediction-strategy cache; sampling = rsample with fast_pred_samples (root reused,
+    # one (n_test × q) matvec per draw).
+    love = {}
+    try:
+        fresh = model.with_params(p)
+        fresh.train_inputs = (train_x,)
+        fresh.train_targets = train_y
+        fresh = fresh.eval()
+        with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
+             gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(_eval_pc), \
+             gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
+             gp.settings.preconditioner_noise_budget(1e-3), \
+             gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(100):
+            t0 = time.time()
+            _sync(fresh(test_x).variance)
+            love["love_var_cold_s"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            _sync(fresh(test_x).variance)
+            love["love_var_cached_s"] = round(time.time() - t0, 4)
+            with gp.settings.fast_pred_samples(True):
+                _sync(fresh(test_x).rsample(jax.random.PRNGKey(11), (16,)))  # warm/compile
+                t0 = time.time()
+                _sync(fresh(test_x).rsample(jax.random.PRNGKey(12), (16,)))
+                love["love_samp_cached_s"] = round(time.time() - t0, 4)
+        _t(f"love latency: {love}")
+    except Exception as e:  # keep the headline metric printing even if the anchor fails
+        love = {"love_error": str(e)[:120]}
+
     # -- MFU estimate from MEASURED CG iterations (stagnation exit makes the configured
     # budget a loose upper bound) ------------------------------------------------------------
     from gpytorch_tpu.solvers.cg import linear_cg
@@ -267,6 +298,7 @@ def main():
             "outputscale": round(float(jnp.ravel(fin.covar_module.outputscale)[0]), 4),
             "lengthscale": [round(float(v), 4) for v in
                             jnp.ravel(fin.covar_module.base_kernel.lengthscale)],
+            **love,
         }))
         return
     try:
@@ -294,6 +326,7 @@ def main():
                 "rmse": round(rmse, 4),
                 "nll": round(nll, 4),
                 "mfu_pct": round(mfu_pct, 2),
+                **love,
             }
         )
     )
