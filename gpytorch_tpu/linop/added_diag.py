@@ -97,6 +97,7 @@ class AddedDiagLinearOperator(LinearOperator):
         _hp = (
             jax.lax.Precision.HIGHEST
             if settings.preconditioner_highest_precision.on() or settings.kernel_matvec_highest.on()
+            or settings.kernel_matvec_high.on()
             else None
         )
         dsqrt_inv = jnp.sqrt(dinv)  # (..., n)

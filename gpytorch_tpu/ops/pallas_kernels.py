@@ -125,7 +125,25 @@ _MAX_T = 256
 def _max_t():
     from .. import settings
 
-    return 128 if settings.kernel_matvec_highest.on() else _MAX_T
+    if settings.kernel_matvec_highest.on() or settings.kernel_matvec_high.on():
+        return 128
+    return _MAX_T
+
+
+def _dot_high(kv, vv):
+    """~Precision.HIGH matmul by hand: bf16 hi/lo split of both operands, drop lo·lo.
+
+    Mosaic does not lower ``Precision.HIGH`` inside Pallas kernels, so this emulates it:
+    3 one-pass bf16 MXU products with f32 accumulation.  Dropped term ≲ 2⁻¹⁶ relative —
+    ~1e-5 total error vs the one-pass default's ~5e-3, at half HIGHEST's 6 passes."""
+    k_hi = kv.astype(jnp.bfloat16)
+    k_lo = (kv - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    v_hi = vv.astype(jnp.bfloat16)
+    v_lo = (vv - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.dot(k_hi, v_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(k_hi, v_lo, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(k_lo, v_hi, preferred_element_type=jnp.float32)
+    return out
 
 
 def _matvec_pallas(x1, x2, v, kernel_type: int):
@@ -141,17 +159,21 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
         )
     n, d = x1.shape
     m, t = v.shape[0], v.shape[1]
-    Np, Mp = _round_up(n, _BN), _round_up(m, _BM)
+    bf16 = bool(settings.kernel_matvec_bf16.on())
+    highest = bool(settings.kernel_matvec_highest.on()) and not bf16
+    high = bool(settings.kernel_matvec_high.on()) and not bf16 and not highest
+    # the hi/lo split materializes two extra bf16 copies of the K tile — halve the column
+    # tile so the high path stays inside the VMEM budget
+    bm = _BM // 2 if high else _BM
+    Np, Mp = _round_up(n, _BN), _round_up(m, bm)
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
     direct = d <= _DIRECT_D_MAX
-    bf16 = bool(settings.kernel_matvec_bf16.on())
-    highest = bool(settings.kernel_matvec_highest.on()) and not bf16
     x1p = _pad_to(_pad_to(x1, Np, 0), Dp, 1)
     x2p = _pad_to(_pad_to(x2, Mp, 0), Dp, 1)
     x2arg = jnp.swapaxes(x2p, 0, 1) if direct else x2p  # (Dp, Mp) for the VPU path
     vp = _pad_to(_pad_to(v, Mp, 0), Tp, 1)
-    nj = Mp // _BM
+    nj = Mp // bm
 
     def kernel(x1_ref, x2_ref, v_ref, o_ref):
         j = pl.program_id(1)
@@ -167,9 +189,13 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
         else:
             kv = kv.astype(vv.dtype)
         # TPU dots default to one-pass bf16 rounding (~5e-3 rel) — tight-tolerance eval
-        # paths opt into the 6-pass f32 product via settings.kernel_matvec_highest.
-        prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
-        pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)
+        # paths opt into the 6-pass f32 product via settings.kernel_matvec_highest;
+        # training prefers the 3-pass hi/lo emulation (settings.kernel_matvec_high).
+        if high:
+            pv = _dot_high(kv, vv).astype(o_ref.dtype)
+        else:
+            prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+            pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)
 
         @pl.when(j == 0)
         def _():
@@ -180,7 +206,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
             o_ref[:] = o_ref[:] + pv
 
     x2_spec = (
-        pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)) if direct else pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0))
+        pl.BlockSpec((Dp, bm), lambda i, j: (0, j)) if direct else pl.BlockSpec((bm, Dp), lambda i, j: (j, 0))
     )
     out = pl.pallas_call(
         kernel,
@@ -188,7 +214,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
         in_specs=[
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
             x2_spec,
-            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+            pl.BlockSpec((bm, Tp), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),

@@ -502,6 +502,21 @@ class kernel_matvec_highest(_feature_flag):
     _default = False
 
 
+class kernel_matvec_high(_feature_flag):
+    """Run the K·V tile of the fused Pallas matvec at ~Precision.HIGH (3-pass bf16 hi/lo).
+
+    Middle ground between the one-pass default (~5e-3 relative rounding, stalls CG) and
+    the 6-pass HIGHEST (full f32, ~2× the MXU passes of this mode): each operand is split
+    into bf16 hi + lo parts and the ``lo·lo`` cross term is dropped, giving ~1e-5 relative
+    error — far below CG's training tolerances — at half HIGHEST's MXU cost.  Mosaic does
+    not lower ``Precision.HIGH`` inside Pallas kernels, so the split is done by hand in
+    the kernel body.  Like ``kernel_matvec_highest``, this also forces the tight-precision
+    preconditioner arithmetic (the O(nk) pivoted-Cholesky/Woodbury ops run at HIGHEST —
+    they are cheap and their apply noise otherwise stalls preconditioned CG).
+    Ignored when kernel_matvec_bf16 or kernel_matvec_highest is on."""
+    _default = False
+
+
 # alias for API parity with the reference
 use_keops = use_pallas
 
@@ -535,6 +550,7 @@ class SolverConfig:
     use_pallas: bool = True
     kernel_matvec_bf16: bool = False
     kernel_matvec_highest: bool = False
+    kernel_matvec_high: bool = False
 
 
 def snapshot(dtype=None) -> SolverConfig:
@@ -561,4 +577,5 @@ def snapshot(dtype=None) -> SolverConfig:
         use_pallas=bool(use_pallas.on()),
         kernel_matvec_bf16=bool(kernel_matvec_bf16.on()),
         kernel_matvec_highest=bool(kernel_matvec_highest.on()),
+        kernel_matvec_high=bool(kernel_matvec_high.on()),
     )

@@ -51,6 +51,7 @@ class _IQConfig:
     use_pallas: bool = True
     mv_bf16: bool = False
     mv_highest: bool = False
+    mv_high: bool = False
 
 
 # Host-level probe counter: when no explicit key is given and deterministic_probes is off,
@@ -119,6 +120,7 @@ def inv_quad_logdet_mbcg(
         use_pallas=bool(getattr(sc, "use_pallas", True)),
         mv_bf16=bool(getattr(sc, "kernel_matvec_bf16", False)),
         mv_highest=bool(getattr(sc, "kernel_matvec_highest", False)),
+        mv_high=bool(getattr(sc, "kernel_matvec_high", False)),
     )
     n = linop.shape[-1]
     if has_rhs:
@@ -294,7 +296,7 @@ def _mbcg_bwd(cfg, residuals, g):
             settings.preconditioner_noise_budget(cfg.pc_noise_budget), \
             settings.preconditioner_highest_precision(cfg.pc_highest), \
             settings.use_pallas(cfg.use_pallas), settings.kernel_matvec_bf16(cfg.mv_bf16), \
-            settings.kernel_matvec_highest(cfg.mv_highest):
+            settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high):
         _, vjp = jax.vjp(scalar_fn, linop)
     (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
 

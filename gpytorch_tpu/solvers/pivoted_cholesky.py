@@ -38,6 +38,7 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
     _prec = (
         jax.lax.Precision.HIGHEST
         if settings.preconditioner_highest_precision.on() or settings.kernel_matvec_highest.on()
+        or settings.kernel_matvec_high.on()
         else None
     )
     diag = linop._diagonal()  # (..., n)

@@ -193,3 +193,20 @@ def test_use_pallas_respects_interpret_flag():
     assert pk._use_pallas()
     with gp.settings.pallas_interpret(False):
         assert jax.default_backend() not in ("tpu", "axon") and not pk._use_pallas() or True
+
+
+def test_forward_high_mode_accuracy_and_chunking():
+    # kernel_matvec_high: 3-pass bf16 hi/lo emulation — ~1e-5 relative error (vs one-pass
+    # ~5e-3), and the 128-column chunk + halved column tile paths must still accumulate
+    # correctly (m spans multiple (BM/2) tiles; t=130 forces column chunking).
+    x1, x2, v = _data(n=1100, m=2300, d=3, t=130, seed=3)
+    with gp.settings.kernel_matvec_high(True):
+        got = pk._matvec_pallas(x1, x2, v, pk.RBF)
+    want = pk._matvec_reference(x1, x2, v, pk.RBF)
+    err = np.max(np.abs(np.asarray(got) - np.asarray(want))) / np.max(np.abs(np.asarray(want)))
+    assert err < 5e-5, err
+    # strictly better than the one-pass default's bf16 rounding floor
+    with gp.settings.kernel_matvec_bf16(True):
+        got_1pass = pk._matvec_pallas(x1, x2, v, pk.RBF)
+    err_1pass = np.max(np.abs(np.asarray(got_1pass) - np.asarray(want))) / np.max(np.abs(np.asarray(want)))
+    assert err < err_1pass / 10.0, (err, err_1pass)
