@@ -162,9 +162,12 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
     bf16 = bool(settings.kernel_matvec_bf16.on())
     highest = bool(settings.kernel_matvec_highest.on()) and not bf16
     high = bool(settings.kernel_matvec_high.on()) and not bf16 and not highest
-    # the hi/lo split materializes two extra bf16 copies of the K tile — halve the column
-    # tile so the high path stays inside the VMEM budget
-    bm = _BM // 2 if high else _BM
+    # the hi/lo split materializes two extra bf16 copies of the K tile; rather than halving
+    # the grid column tile (which doubles the per-grid-step fixed overhead, measured +12 ms
+    # per matvec at N=100k), keep the (BN, BM) block and loop over two column sub-blocks
+    # inside the kernel body so only one (BN, BM/2) K tile (+ its bf16 splits) is live
+    n_sub = 2 if high else 1
+    bm = _BM
     Np, Mp = _round_up(n, _BN), _round_up(m, bm)
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
@@ -177,25 +180,30 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
 
     def kernel(x1_ref, x2_ref, v_ref, o_ref):
         j = pl.program_id(1)
-        d2 = _d2_tile(x1_ref[:], x2_ref[:], d, direct)
-        kv = _kernel_fn(d2, kernel_type)
-        vv = v_ref[:]
-        if bf16:
-            # bf16 K·V tile: kernel values are in [0,1]; per-element rounding (~2⁻⁹ rel)
-            # is independent across the reduction, and the f32 accumulator keeps the sum
-            # exact — CG's residual recurrences absorb the noise.  2× MXU throughput.
-            kv = kv.astype(jnp.bfloat16)
-            vv = vv.astype(jnp.bfloat16)
-        else:
-            kv = kv.astype(vv.dtype)
-        # TPU dots default to one-pass bf16 rounding (~5e-3 rel) — tight-tolerance eval
-        # paths opt into the 6-pass f32 product via settings.kernel_matvec_highest;
-        # training prefers the 3-pass hi/lo emulation (settings.kernel_matvec_high).
-        if high:
-            pv = _dot_high(kv, vv).astype(o_ref.dtype)
-        else:
-            prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
-            pv = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)
+        sub = bm // n_sub
+        pv = None
+        for s in range(n_sub):
+            x2_blk = x2_ref[:, s * sub : (s + 1) * sub] if direct else x2_ref[s * sub : (s + 1) * sub, :]
+            d2 = _d2_tile(x1_ref[:], x2_blk, d, direct)
+            kv = _kernel_fn(d2, kernel_type)
+            vv = v_ref[s * sub : (s + 1) * sub, :]
+            if bf16:
+                # bf16 K·V tile: kernel values are in [0,1]; per-element rounding (~2⁻⁹ rel)
+                # is independent across the reduction, and the f32 accumulator keeps the sum
+                # exact — CG's residual recurrences absorb the noise.  2× MXU throughput.
+                kv = kv.astype(jnp.bfloat16)
+                vv = vv.astype(jnp.bfloat16)
+            else:
+                kv = kv.astype(vv.dtype)
+            # TPU dots default to one-pass bf16 rounding (~5e-3 rel) — tight-tolerance eval
+            # paths opt into the 6-pass f32 product via settings.kernel_matvec_highest;
+            # training prefers the 3-pass hi/lo emulation (settings.kernel_matvec_high).
+            if high:
+                part = _dot_high(kv, vv).astype(o_ref.dtype)
+            else:
+                prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+                part = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)
+            pv = part if pv is None else pv + part
 
         @pl.when(j == 0)
         def _():
