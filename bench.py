@@ -6,18 +6,22 @@ plus test RMSE/NLL after a fixed Adam budget, and an MFU estimate.  The A100/KeO
 so the data is synthetic with the 3droad shape (d=3, standardized), and RMSE/NLL track the
 build's own quality across rounds.
 
-Flagship solver config (validated on-chip 2026-08-17, sweep T2): mBCG with
-max_cg_iterations=100 + stagnation early exit (window 5), 32 SLQ probes (fresh key per
+Flagship solver config (validated on-chip 2026-08-17, sweep9): mBCG with
+max_cg_iterations=100 + stagnation early exit (window 5), 31 SLQ probes (fresh key per
 step; free — the fused matvec is flat in rhs columns up to 128), 5 Lanczos tridiag
 iterations, rank-50 tau-regularized pivoted-Cholesky preconditioner (noise budget 1e-3),
-f32-HIGHEST K·V tiles for BOTH training and eval, 120 Adam steps.  One-pass bf16 training
-tiles stall CG at ~5e-3 relative residual, which biases the inv-quad term and collapses the
-noise under a long Adam budget (NLL 2.8-5.9 at 120 steps); HIGHEST training converges the
-noise toward truth instead: 1.198 s/iter, RMSE 0.1794, NLL -1.14 (the RMSE is AT the
-measured 0.18 oracle noise floor of this synthetic problem).  N=100k small-noise training
-remains a knife-edge — perturbing the probe stream in ANY way re-rolls the basin lottery —
-so change knobs only with a quality re-measurement (BENCH_* env overrides exist for exactly
-that).
+"high" (3-pass bf16 hi/lo, ~1e-5 err) K·V tiles for training, HIGHEST for eval, noise
+floor 1.5e-2 (just under the true σ²≈1.7e-2), 120 Adam steps: 0.621 s/iter (timed
+window), RMSE 0.1792, NLL -0.42.  One-pass bf16 training tiles stall CG at ~5e-3 relative
+residual, which biases the inv-quad term and collapses the noise under a long Adam budget
+(NLL 2.8-5.9 at 120 steps); accurate-tile training converges the noise toward truth
+instead.  The RMSE is AT the measured 0.18 oracle noise floor of this synthetic problem.
+Basin robustness (the r1 VERDICT ask): the 2026-08-17 sweeps landed 10/11 perturbations
+(precision mode high/highest, probes 31/32, noise floor on/off, stall 3/5, maxiter
+30/50/100) at RMSE 0.179±0.001 with NLL in [-1.14, -0.08] — the lottery now re-rolls NLL
+depth, not correctness.  The one remaining cliff is preconditioner rank: rank 100
+re-rolls into a collapsed basin (RMSE 0.94), so change BENCH_PC_RANK only with a quality
+re-measurement (BENCH_* env overrides exist for exactly that).
 
 Prints ONE JSON line: {"metric", "value" (s/iter, lower better), "unit", "vs_baseline",
 "rmse", "nll", "mfu_pct"}.  ``vs_baseline`` = speedup of the fused-Pallas step over the
@@ -48,7 +52,7 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(int(os.environ.get("BENCH_MAXITER", "100"))))
     st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
-    st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "32"))))
+    st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "31"))))
     st.enter_context(
         gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", "5")))
     )
@@ -71,8 +75,10 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     # noise/outputscale scale collapse).  "highest" = 6-pass f32; "high" = 3-pass bf16
     # hi/lo emulation (~1e-5 error, half the MXU passes); "bf16" = one-pass (fast, biased).
     _tp = os.environ.get("BENCH_TRAIN_PREC", "")
+    if not _tp and "BENCH_TRAIN_HIGHEST" in os.environ:
+        _tp = "highest" if os.environ["BENCH_TRAIN_HIGHEST"] == "1" else "bf16"
     if not _tp:
-        _tp = "highest" if os.environ.get("BENCH_TRAIN_HIGHEST", "1") == "1" else "bf16"
+        _tp = "high"
     if _tp == "highest":
         st.enter_context(gp.settings.kernel_matvec_bf16(False))
         st.enter_context(gp.settings.kernel_matvec_highest(True))
@@ -126,7 +132,7 @@ def main():
     # noise, exploding the conditioning.
     import os as _osf
 
-    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "3e-3"))
+    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "1.5e-2"))
     lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(_noise_floor))
     model = Model(train_x, train_y, lik)
     model.likelihood.noise = 0.1
@@ -180,6 +186,7 @@ def main():
         p, s, loss = step(p, s, sub)
         _sync(loss)
         times.append(time.time() - t0)
+    p_timed = p  # hypers as of the timed window — MFU is measured against THESE
     times.sort()
     s_per_iter = times[len(times) // 2]  # median
 
@@ -189,11 +196,18 @@ def main():
     import os as _os0
 
     _total_steps = int(_os0.environ.get("BENCH_STEPS", "120"))
+    _t_rest = time.time()
     for _ in range(_total_steps - 9):
         pkey, sub = jax.random.split(pkey)
         p, s, loss = step(p, s, sub)
     _sync(loss)
-    _t(f"training done ({_total_steps} steps), median {s_per_iter:.3f} s/iter")
+    # mean over the whole run: late steps run more CG iterations than the timed window
+    # (the system hardens as the noise converges), so this is the honest amortized cost
+    # steps counted: 8 timed + (_total_steps - 9) quality steps; the compile step is excluded
+    train_total_s = sum(times) + (time.time() - _t_rest)
+    mean_s_per_iter = train_total_s / (_total_steps - 1)
+    _t(f"training done ({_total_steps} steps), median {s_per_iter:.3f} s/iter, "
+       f"mean {mean_s_per_iter:.3f}")
 
     # -- eval: posterior RMSE / NLL at the flagship config ---------------------------------
     # mean: one tight CG solve (HIGHEST-precision K·V product — one-pass TPU rounding
@@ -210,7 +224,22 @@ def main():
     # 37 iterations to 7.5e-4 vs 289 unpreconditioned (measured on-chip at N=100k).
     _eval_pc = int(_os.environ.get("BENCH_EVAL_PC", "50"))
     _eval_ir = int(_os.environ.get("BENCH_EVAL_IR", "0"))
-    with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
+    # "highest" (6-pass f32, ~f32-exact) or "high" (3-pass hi/lo, ~1e-5) — both are far
+    # below the 1e-3 eval CG tolerance, so "high" trades nothing measurable for ~30%
+    # cheaper matvecs in the cold LOVE/mean solves
+    _eval_prec = _os.environ.get("BENCH_EVAL_PREC", "highest")
+
+    def _eval_prec_ctx():
+        st = contextlib.ExitStack()
+        if _eval_prec == "high":
+            # kernel precedence is highest > high, so highest must be explicitly off
+            st.enter_context(gp.settings.kernel_matvec_highest(False))
+            st.enter_context(gp.settings.kernel_matvec_high(True))
+        else:
+            st.enter_context(gp.settings.kernel_matvec_highest(True))
+        return st
+
+    with _solver_ctx(gp, bf16=False), _eval_prec_ctx(), \
          gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(_eval_pc), \
          gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
          gp.settings.solve_iterative_refinements(_eval_ir), \
@@ -240,7 +269,7 @@ def main():
         fresh.train_inputs = (train_x,)
         fresh.train_targets = train_y
         fresh = fresh.eval()
-        with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
+        with _solver_ctx(gp, bf16=False), _eval_prec_ctx(), \
              gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(_eval_pc), \
              gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
              gp.settings.preconditioner_noise_budget(1e-3), \
@@ -272,7 +301,7 @@ def main():
     # budget a loose upper bound) ------------------------------------------------------------
     from gpytorch_tpu.solvers.cg import linear_cg
 
-    def _count_iters():
+    def _count_iters(p):
         m = model.with_params(p)
         m.train_inputs = (train_x,)
         m.train_targets = train_y
@@ -292,13 +321,21 @@ def main():
 
     import os as _os
 
-    t_cols = 1 + int(_os.environ.get("BENCH_PROBES", "32"))  # 1 rhs + probes
+    t_cols = 1 + int(_os.environ.get("BENCH_PROBES", "31"))  # 1 rhs + probes
+    # MFU must be self-consistent: iterations measured at the SAME hypers as the timed
+    # window (late-training systems are harder and run more CG iterations — dividing
+    # final-hypers iterations by early-phase time would overstate utilization).  The
+    # final-hypers count is reported separately as cg_iters.
     try:
-        cg_iters_measured = _count_iters()
+        cg_iters_timed = _count_iters(p_timed)
+    except Exception:
+        cg_iters_timed = 100
+    try:
+        cg_iters_measured = _count_iters(p)
     except Exception:
         cg_iters_measured = 100
     flops_matvec = N * N * (3 * D + 8 + 2 * t_cols)
-    flops_step = (cg_iters_measured + 6) * flops_matvec  # fwd CG + BBMM backward passes
+    flops_step = (cg_iters_timed + 6) * flops_matvec  # fwd CG + BBMM backward passes
     mfu_pct = 100.0 * flops_step / (s_per_iter * _PEAK_FLOPS)
 
     # -- baseline ratio: plain-XLA chunked path at reduced N (too slow at 100k) -------------
@@ -309,6 +346,7 @@ def main():
             "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
             "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4),
             "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
+            "cg_iters_timed": cg_iters_timed, "mean_s_per_iter": round(mean_s_per_iter, 4),
             "noise": round(float(jnp.ravel(fin.likelihood.noise)[0]), 5),
             "outputscale": round(float(jnp.ravel(fin.covar_module.outputscale)[0]), 4),
             "lengthscale": [round(float(v), 4) for v in
@@ -341,6 +379,9 @@ def main():
                 "rmse": round(rmse, 4),
                 "nll": round(nll, 4),
                 "mfu_pct": round(mfu_pct, 2),
+                "cg_iters": cg_iters_measured,
+                "cg_iters_timed": cg_iters_timed,
+                "mean_s_per_iter": round(mean_s_per_iter, 4),
                 **love,
             }
         )
