@@ -79,30 +79,96 @@ def _set_index(buf, value, j, axis, clamp_max: Optional[int] = None):
     return jnp.moveaxis(moved, 0, axis)
 
 
-def _default_init(linop, initial_vectors):
+def block_lanczos_ritz(
+    matmul_fn,
+    init_block: jax.Array,
+    num_blocks: int,
+    max_cols: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Block-Krylov Rayleigh–Ritz factorization: Q (..., n, m·b) orthonormal spanning
+    the block Krylov space ``span{Ω, AΩ, …, A^{m-1}Ω}``, and T = Qᵀ A Q (..., mb, mb).
+
+    TPU-first replacement for scalar Lanczos in the LOVE caches: the fused kernel
+    matvec's cost is flat in the number of right-hand columns (up to ~128), so m block
+    matvecs of width b span the same-size subspace as m·b sequential single-column
+    Lanczos steps at ~1/b the wall-clock.  Forming T explicitly as Qᵀ(AQ) (Rayleigh–
+    Ritz; Musco & Musco 2015) instead of trusting the three-term recurrence is also the
+    f32-stable choice.  Each A·block is stored, so T costs one extra (mb × mb) matmul.
+    """
+    n = init_block.shape[-2]
+    b = init_block.shape[-1]
+    # more total columns than n would force the trailing qr to emit directions that are
+    # NOT orthogonal to earlier blocks (qr of a numerically-zero residual block) — cap
+    # the basis at n columns by narrowing the final block
+    limit = n if max_cols is None else min(max_cols, n)
+    Q, _ = jnp.linalg.qr(init_block[..., : min(b, limit)])  # (..., n, b)
+    Qs = [Q]
+    AQs = []
+    cols = Q.shape[-1]
+    for j in range(num_blocks):
+        V = matmul_fn(Q)
+        AQs.append(V)
+        if j < num_blocks - 1 and cols < limit:
+            # full re-orthogonalization (twice) against every previous block: f32 on
+            # TPU loses orthogonality fast enough that the classic local recurrence
+            # is not usable
+            width = min(b, limit - cols)
+            V = V[..., :width]
+            for _ in range(2):
+                for Qi in Qs:
+                    V = V - Qi @ (jnp.swapaxes(Qi, -1, -2) @ V)
+            Q, _ = jnp.linalg.qr(V)
+            Qs.append(Q)
+            cols += width
+        elif j < num_blocks - 1:
+            break
+    Qf = jnp.concatenate(Qs, axis=-1)  # (..., n, mb)
+    AQf = jnp.concatenate(AQs, axis=-1)
+    T = jnp.swapaxes(Qf, -1, -2) @ AQf
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    return Qf, T
+
+
+def _block_init(linop, initial_vectors, block_size: int):
     batch = linop.batch_shape
     n = linop.shape[-1]
-    if initial_vectors is not None:
-        vec = initial_vectors if initial_vectors.ndim == len(batch) + 1 else initial_vectors[..., 0]
-        return vec.astype(linop.dtype)
     key = jax.random.PRNGKey(0)
-    return jax.random.normal(key, batch + (n,), dtype=linop.dtype)
+    omega = jax.random.normal(key, batch + (n, block_size), dtype=linop.dtype)
+    if initial_vectors is not None:
+        vecs = initial_vectors if initial_vectors.ndim >= len(batch) + 2 else initial_vectors[..., None]
+        vecs = vecs.astype(linop.dtype)
+        k = min(block_size, vecs.shape[-1])
+        omega = jnp.concatenate([vecs[..., :k], omega[..., k:]], axis=-1)
+    return omega
+
+
+def _block_plan(max_rank: int, n: int) -> Tuple[int, int]:
+    """(block_size, num_blocks): keep Krylov degree ≥ 5 for spectral accuracy, width
+    ≤ 32 so each block matvec stays in the fused kernel's flat-cost column regime."""
+    b = max(1, min(32, -(-max_rank // 5), n))
+    m = -(-max_rank // b)
+    return b, m
+
+
+def _ritz_root(linop, max_rank: int, initial_vectors, eig_floor: float, inverse: bool) -> jax.Array:
+    n = linop.shape[-1]
+    b, m = _block_plan(max_rank, n)
+    init = _block_init(linop, initial_vectors, b)
+    Q, T = block_lanczos_ritz(lambda v: linop._matmul(v), init, m)
+    lam, V = jnp.linalg.eigh(T)  # ascending
+    lam = jnp.maximum(lam[..., -max_rank:], eig_floor)
+    V = V[..., -max_rank:]
+    scale = 1.0 / jnp.sqrt(lam) if inverse else jnp.sqrt(lam)
+    return Q @ (V * scale[..., None, :])
 
 
 def lanczos_root(linop, max_rank: int, initial_vectors=None, eig_floor: float = 1e-8) -> jax.Array:
-    """K ≈ R Rᵀ with R = Q V Λ^{1/2} of rank ``max_rank`` (LOVE forward cache)."""
-    init = _default_init(linop, initial_vectors)
-    Q, T = lanczos_tridiag(lambda v: linop._matmul(v), init, max_rank)
-    lam, V = jnp.linalg.eigh(T)
-    lam = jnp.maximum(lam, eig_floor)
-    return Q @ (V * jnp.sqrt(lam)[..., None, :])
+    """K ≈ R Rᵀ with R of rank ``max_rank`` (LOVE forward cache), via block-Krylov
+    Rayleigh–Ritz (see :func:`block_lanczos_ritz`)."""
+    return _ritz_root(linop, max_rank, initial_vectors, eig_floor, inverse=False)
 
 
 def lanczos_inv_root(linop, max_rank: int, initial_vectors=None, eig_floor: float = 1e-8) -> jax.Array:
-    """K⁻¹ ≈ R Rᵀ with R = Q V Λ^{-1/2} (LOVE predictive-variance cache,
-    reference: exact_prediction_strategies.py:269-272)."""
-    init = _default_init(linop, initial_vectors)
-    Q, T = lanczos_tridiag(lambda v: linop._matmul(v), init, max_rank)
-    lam, V = jnp.linalg.eigh(T)
-    lam = jnp.maximum(lam, eig_floor)
-    return Q @ (V / jnp.sqrt(lam)[..., None, :])
+    """K⁻¹ ≈ R Rᵀ (LOVE predictive-variance cache, reference:
+    exact_prediction_strategies.py:269-272), via block-Krylov Rayleigh–Ritz."""
+    return _ritz_root(linop, max_rank, initial_vectors, eig_floor, inverse=True)

@@ -1,0 +1,124 @@
+"""Block-Krylov Rayleigh–Ritz root decompositions (solvers/lanczos.py).
+
+The LOVE caches (reference: gpytorch/models/exact_prediction_strategies.py:269-272 via
+linear_operator lanczos) are built with a BLOCK Krylov factorization on TPU because the
+fused kernel matvec is flat-cost in right-hand columns: m block matvecs of width b span
+the same subspace as m·b scalar Lanczos steps.  These tests pin the factorization's
+accuracy directly against dense decompositions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpytorch_tpu.solvers.lanczos import (
+    _block_plan,
+    block_lanczos_ritz,
+    lanczos_inv_root,
+    lanczos_root,
+)
+from gpytorch_tpu.linop import DenseLinearOperator
+
+
+def _spd(key, n, batch=(), cond=1e3):
+    a = jax.random.normal(key, batch + (n, n))
+    q, _ = jnp.linalg.qr(a)
+    lam = jnp.logspace(0, -np.log10(cond), n)
+    return q @ (lam[..., :, None] * jnp.swapaxes(q, -1, -2))
+
+
+def test_block_plan_degree_and_width():
+    # rank 100: width ≤ 32, degree ≥ 5, covers the requested rank
+    b, m = _block_plan(100, 100000)
+    assert b <= 32 and m >= 5 and b * m >= 100
+    # tiny problems: width clamps to n
+    b, m = _block_plan(10, 4)
+    assert b <= 4 and b * m >= 10
+    b, m = _block_plan(1, 50)
+    assert b == 1 and m == 1
+
+
+def test_ritz_full_subspace_is_exact():
+    # when m·b ≥ n the Rayleigh–Ritz factorization is a full eigendecomposition
+    n = 12
+    A = _spd(jax.random.PRNGKey(0), n)
+    R = lanczos_root(DenseLinearOperator(A), max_rank=n)
+    np.testing.assert_allclose(np.asarray(R @ R.T), np.asarray(A), atol=1e-5)
+    Ri = lanczos_inv_root(DenseLinearOperator(A + 0.1 * jnp.eye(n)), max_rank=n)
+    np.testing.assert_allclose(
+        np.asarray(Ri @ Ri.T), np.asarray(jnp.linalg.inv(A + 0.1 * jnp.eye(n))), atol=1e-4
+    )
+
+
+def test_partial_rank_matches_truncated_eigh():
+    # fast-decaying spectrum: rank-k Ritz root ≈ best rank-k approximation
+    n, k = 60, 15
+    A = _spd(jax.random.PRNGKey(1), n, cond=1e6)
+    R = lanczos_root(DenseLinearOperator(A), max_rank=k)
+    assert R.shape == (n, k)
+    lam = jnp.linalg.eigvalsh(A)
+    best_err = float(lam[n - k - 1])  # ‖A − A_k‖₂ of the optimal rank-k truncation
+    got_err = float(jnp.linalg.norm(A - R @ R.T, ord=2))
+    assert got_err <= 10 * best_err + 1e-6
+
+
+def test_inv_root_solves_like_dense():
+    # K⁻¹ ≈ R Rᵀ on the dominant subspace drives LOVE predictive variances: check the
+    # Ritz inverse applied to vectors in the dominant eigenspace
+    n, k = 50, 50
+    A = _spd(jax.random.PRNGKey(2), n) + 0.5 * jnp.eye(n)
+    Ri = lanczos_inv_root(DenseLinearOperator(A), max_rank=k)
+    x = jax.random.normal(jax.random.PRNGKey(3), (n,))
+    np.testing.assert_allclose(
+        np.asarray(Ri @ (Ri.T @ x)), np.asarray(jnp.linalg.solve(A, x)), atol=1e-3
+    )
+
+
+def test_batched_block_lanczos():
+    n, k, b = 24, 24, (3,)
+    A = _spd(jax.random.PRNGKey(4), n, batch=b) + 0.2 * jnp.eye(n)
+    lo = DenseLinearOperator(A)
+    R = lanczos_root(lo, max_rank=k)
+    assert R.shape == (3, n, k)
+    # full-rank: each batch member reconstructs its own matrix exactly
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(R[i] @ R[i].T), np.asarray(A[i]), atol=1e-4)
+    # partial rank: per-member spectral residual is bounded by the truncated tail
+    kp = 8
+    Rp = lanczos_root(lo, max_rank=kp)
+    assert Rp.shape == (3, n, kp)
+    for i in range(3):
+        lam = jnp.linalg.eigvalsh(A[i])
+        tail = float(lam[n - kp - 1])
+        got = float(jnp.linalg.norm(A[i] - Rp[i] @ Rp[i].T, ord=2))
+        assert got <= 10 * tail + 1e-5, (got, tail)
+
+
+def test_initial_vectors_enter_subspace():
+    # a supplied initial vector must be representable: R Rᵀ v ≈ A v even at low rank
+    n = 40
+    A = _spd(jax.random.PRNGKey(5), n, cond=1e4)
+    v = jax.random.normal(jax.random.PRNGKey(6), (n, 1))
+    R = lanczos_root(DenseLinearOperator(A), max_rank=10, initial_vectors=v)
+    # the block Krylov space from v contains A v: R's column space must reconstruct it
+    av = A @ v
+    rel = float(jnp.linalg.norm(R @ (jnp.linalg.pinv(R) @ av) - av) / jnp.linalg.norm(av))
+    assert rel < 0.15, rel
+
+
+def test_ritz_eigenvalues_bounded_by_spectrum():
+    # Rayleigh–Ritz values lie inside [λ_min, λ_max]: no eig_floor blow-up in inv roots
+    n = 30
+    A = _spd(jax.random.PRNGKey(7), n) + 0.3 * jnp.eye(n)
+    lo = DenseLinearOperator(A)
+    bsz, m = _block_plan(20, n)
+    key = jax.random.PRNGKey(8)
+    init = jax.random.normal(key, (n, bsz))
+    Q, T = block_lanczos_ritz(lambda x: lo._matmul(x), init, m)
+    ritz = jnp.linalg.eigvalsh(T)
+    lam = jnp.linalg.eigvalsh(A)
+    assert float(ritz.min()) >= float(lam.min()) - 1e-4
+    assert float(ritz.max()) <= float(lam.max()) + 1e-4
+    # basis stayed orthonormal under f32 re-orthogonalization
+    I = Q.T @ Q
+    np.testing.assert_allclose(np.asarray(I), np.eye(I.shape[0]), atol=1e-4)
