@@ -130,14 +130,28 @@ def _max_t():
     return _MAX_T
 
 
-def _dot_high(kv, vv):
+def _dot_high(kv, vv, t_real: Optional[int] = None):
     """~Precision.HIGH matmul by hand: bf16 hi/lo split of both operands, drop lo·lo.
 
     Mosaic does not lower ``Precision.HIGH`` inside Pallas kernels, so this emulates it:
-    3 one-pass bf16 MXU products with f32 accumulation.  Dropped term ≲ 2⁻¹⁶ relative —
-    ~1e-5 total error vs the one-pass default's ~5e-3, at half HIGHEST's 6 passes."""
+    one-pass bf16 MXU products with f32 accumulation.  Dropped term ≲ 2⁻¹⁶ relative —
+    ~1e-5 total error vs the one-pass default's ~5e-3, at half HIGHEST's 6 passes.
+
+    MXU passes are FLAT in output lanes up to 128 (the lane width), so when the real
+    column count ``t_real`` ≤ 64 the three products are lane-packed into TWO passes:
+    ``k_hi @ [v_hi | v_lo]`` (one 128-lane pass) plus ``k_lo @ v_hi`` — a measured
+    ~13 ms/matvec saving at N=100k vs the generic 3-pass form."""
     k_hi = kv.astype(jnp.bfloat16)
     k_lo = (kv - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if t_real is not None and t_real <= 64 and vv.shape[-1] >= 128:
+        v64 = vv[:, :64]
+        v_hi = v64.astype(jnp.bfloat16)
+        v_lo = (v64 - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        pack = jnp.concatenate([v_hi, v_lo], axis=1)  # (m, 128)
+        o1 = jnp.dot(k_hi, pack, preferred_element_type=jnp.float32)
+        part = o1[:, :64] + o1[:, 64:] + jnp.dot(k_lo, v_hi, preferred_element_type=jnp.float32)
+        pad = vv.shape[-1] - 64
+        return jnp.concatenate([part, jnp.zeros(part.shape[:-1] + (pad,), jnp.float32)], axis=1)
     v_hi = vv.astype(jnp.bfloat16)
     v_lo = (vv - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     out = jnp.dot(k_hi, v_hi, preferred_element_type=jnp.float32)
@@ -199,7 +213,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
             # paths opt into the 6-pass f32 product via settings.kernel_matvec_highest;
             # training prefers the 3-pass hi/lo emulation (settings.kernel_matvec_high).
             if high:
-                part = _dot_high(kv, vv).astype(o_ref.dtype)
+                part = _dot_high(kv, vv, t_real=t).astype(o_ref.dtype)
             else:
                 prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
                 part = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)
@@ -302,6 +316,136 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
 
 
 # ----------------------------------------------------------------------------------------
+# fused symmetric backward: ONE tile build produces dV, dX1 and dX2 when x1 ≡ x2
+# (the training case — every mBCG backward).  The three separate passes each rebuild the
+# identical (distances + elementwise) tile; with x1 ≡ x2 all three reductions are row-block
+# reductions over the SAME (i, j) tile:
+#   dv[i]  = Σ_j k(d2_ij) g_j                      (K is symmetric)
+#   dx1[i] = 2 Σ_j k'(d2_ij) (g_i·v_j) (x_i − x_j)
+#   dx2[i] = 2 Σ_j k'(d2_ij) (v_i·g_j) (x_i − x_j)   (same tile, g/v swapped)
+# and dx1+dx2 share one weighted-moment reduction via W := k'·(g vᵀ + v gᵀ).
+# ----------------------------------------------------------------------------------------
+
+def _bwd_fused_pallas(x, g, v, kernel_type: int):
+    from jax.experimental import pallas as pl
+
+    from .. import settings
+
+    max_t = _max_t()
+    if v.shape[1] > max_t:
+        dv_tot, dx_tot = None, None
+        for i in range(0, v.shape[1], max_t):
+            dv_p, dx_p = _bwd_fused_pallas(x, g[:, i : i + max_t], v[:, i : i + max_t], kernel_type)
+            dv_tot = dv_p if dv_tot is None else jnp.concatenate([dv_tot, dv_p], axis=1)
+            dx_tot = dx_p if dx_tot is None else dx_tot + dx_p
+        return dv_tot, dx_tot
+    n, d = x.shape
+    t = v.shape[1]
+    bf16 = bool(settings.kernel_matvec_bf16.on())
+    highest = bool(settings.kernel_matvec_highest.on()) and not bf16
+    high = bool(settings.kernel_matvec_high.on()) and not bf16 and not highest
+    Np = _round_up(n, _BN)
+    Dp = max(_round_up(d, 8), 8)
+    Tp = _round_up(t, _LANE)
+    direct = d <= _DIRECT_D_MAX
+    # column sub-blocks bound live VMEM: d2/kv/kp/W tiles are (BN, BM/n_sub)
+    n_sub = 4 if (high or highest) else 2
+    xp = _pad_to(_pad_to(x, Np, 0), Dp, 1)
+    xpt = jnp.swapaxes(xp, 0, 1)  # (Dp, Np)
+    gp = _pad_to(_pad_to(g, Np, 0), Tp, 1)
+    vp = _pad_to(_pad_to(v, Np, 0), Tp, 1)
+    nj = Np // _BM if Np % _BM == 0 else -(-Np // _BM)
+    Mp = nj * _BM
+
+    if Mp != Np:
+        xp2 = _pad_to(xp, Mp, 0)
+        gp2 = _pad_to(gp, Mp, 0)
+        vp2 = _pad_to(vp, Mp, 0)
+    else:
+        xp2, gp2, vp2 = xp, gp, vp
+    xp2t = jnp.swapaxes(xp2, 0, 1)
+
+    def kernel(x1_ref, x2_ref, x2t_ref, gi_ref, gj_ref, vi_ref, vj_ref, dv_ref, dx_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        a = x1_ref[:]
+        gi = gi_ref[:]
+        vi = vi_ref[:]
+        sub = _BM // n_sub
+        dv_acc = None
+        dx_acc = None
+        row_ids = i * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BN, sub), 0)
+        for s in range(n_sub):
+            b_s = x2_ref[s * sub : (s + 1) * sub, :]
+            bt_s = x2t_ref[:, s * sub : (s + 1) * sub]
+            d2 = _d2_tile(a, bt_s if direct else b_s, d, direct)
+            kv = _kernel_fn(d2, kernel_type)
+            kp = _kernel_prime(d2, kernel_type)
+            # the diagonal's dx contribution is identically zero ((x_i − x_i) = 0), but for
+            # Matérn kernels kp(0) ~ 1/√eps — realized as rowsum(W)·x − W·x it becomes a
+            # catastrophic f32 cancellation.  Zero the exact diagonal instead.
+            col_ids = j * _BM + s * sub + jax.lax.broadcasted_iota(jnp.int32, (_BN, sub), 1)
+            kp = jnp.where(row_ids == col_ids, 0.0, kp)
+            gj_s = gj_ref[s * sub : (s + 1) * sub, :]
+            vj_s = vj_ref[s * sub : (s + 1) * sub, :]
+            # dv: same precision policy as the forward matvec
+            if bf16:
+                dv_p = jnp.dot(kv.astype(jnp.bfloat16), gj_s.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            elif high:
+                dv_p = _dot_high(kv, gj_s, t_real=t)
+            else:
+                prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+                dv_p = jnp.dot(kv.astype(jnp.float32), gj_s, preferred_element_type=jnp.float32, precision=prec)
+            # dx: W + W' = k'(d2) ∘ (g_i v_jᵀ + v_i g_jᵀ), then one weighted-moment pass
+            gv = jax.lax.dot_general(
+                gi, vj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            vg = jax.lax.dot_general(
+                vi, gj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            W = kp * (gv + vg)
+            rowsum = jnp.sum(W, axis=-1, keepdims=True)
+            Wx = jnp.dot(W.astype(b_s.dtype), b_s, preferred_element_type=jnp.float32)
+            dx_p = 2.0 * (rowsum * a - Wx)
+            dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
+            dx_acc = dx_p if dx_acc is None else dx_acc + dx_p
+
+        @pl.when(j == 0)
+        def _():
+            dv_ref[:] = dv_acc.astype(dv_ref.dtype)
+            dx_ref[:] = dx_acc.astype(dx_ref.dtype)
+
+        @pl.when(j != 0)
+        def _():
+            dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
+            dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
+
+    dv, dx = pl.pallas_call(
+        kernel,
+        grid=(Np // _BN, nj),
+        in_specs=[
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)),
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+            jax.ShapeDtypeStruct((Np, Dp), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(xp, xp2, xp2t, gp, gp2, vp, vp2)
+    return dv[:n, :t], dx[:n, :d]
+
+
+# ----------------------------------------------------------------------------------------
 # jnp reference path (CPU tests / fallback) — identical math
 # ----------------------------------------------------------------------------------------
 
@@ -353,6 +497,13 @@ def _fkm_fwd(x1, x2, v, kernel_type):
 
 def _fkm_bwd(kernel_type, res, g):
     x1, x2, v = res
+    if _use_pallas() and x1 is x2:
+        # training case (x1 ≡ x2, the same traced value): ONE fused tile build yields
+        # dv, dx1 and dx2 (see _bwd_fused_pallas) instead of three full passes.  The
+        # total input cotangent is dx1 + dx2 — JAX sums the two positional cotangents
+        # at the shared-variable call site, so deliver the sum in slot 0.
+        dv, dx = _bwd_fused_pallas(x1, g, v, kernel_type)
+        return dx, jnp.zeros_like(dx), dv
     # dV = K(x2, x1) @ g   (stationary kernels: Kᵀ(x1,x2) = K(x2,x1))
     dv = fused_kernel_matvec(x2, x1, g, kernel_type)
     if _use_pallas():

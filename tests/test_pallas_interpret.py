@@ -210,3 +210,98 @@ def test_forward_high_mode_accuracy_and_chunking():
         got_1pass = pk._matvec_pallas(x1, x2, v, pk.RBF)
     err_1pass = np.max(np.abs(np.asarray(got_1pass) - np.asarray(want))) / np.max(np.abs(np.asarray(want)))
     assert err < err_1pass / 10.0, (err, err_1pass)
+
+
+# ---------------------------------------------------------------------------------------
+# fused symmetric backward (x1 ≡ x2) + lane-packed high-precision dot
+# ---------------------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ktype", ALL_KERNELS)
+def test_bwd_fused_symmetric_matches_dense_grad(ktype):
+    """One-build fused backward (dv + dx) vs jax.grad of the dense symmetric op."""
+    x1, _, _ = _data(n=180, m=180, d=3, t=4, seed=21)
+    v = jax.random.normal(jax.random.PRNGKey(22), (180, 4), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(23), (180, 4), dtype=jnp.float32)
+
+    def dense_loss(x_, v_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), ktype)
+        return jnp.sum(g * (K @ v_))
+
+    want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x1, v)
+    got_dv, got_dx = pk._bwd_fused_pallas(x1, g, v, ktype)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
+    np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
+
+
+def test_custom_vjp_routes_symmetric_case_through_fused():
+    """grad through fused_kernel_matvec(x, x, v) (the training call shape) is correct."""
+    x, _, _ = _data(n=150, m=150, d=3, t=3, seed=31)
+    v = jax.random.normal(jax.random.PRNGKey(32), (150, 3), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(33), (150, 3), dtype=jnp.float32)
+
+    def fused_loss(x_, v_):
+        return jnp.sum(g * pk.fused_kernel_matvec(x_, x_, v_, pk.RBF))
+
+    def dense_loss(x_, v_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), pk.RBF)
+        return jnp.sum(g * (K @ v_))
+
+    got = jax.grad(fused_loss, argnums=(0, 1))(x, v)
+    want = jax.grad(dense_loss, argnums=(0, 1))(x, v)
+    for gg, ww, name in zip(got, want, ("dx", "dv")):
+        np.testing.assert_allclose(gg, ww, rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("ktype", [pk.RBF, pk.MATERN15])
+def test_bwd_fused_high_mode(ktype):
+    """Fused backward under kernel_matvec_high (the flagship training precision)."""
+    x, _, _ = _data(n=170, m=170, d=3, t=5, seed=41)
+    v = jax.random.normal(jax.random.PRNGKey(42), (170, 5), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(43), (170, 5), dtype=jnp.float32)
+
+    def dense_loss(x_, v_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), ktype)
+        return jnp.sum(g * (K @ v_))
+
+    want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
+    with gp.settings.kernel_matvec_high(True):
+        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, ktype)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
+    np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
+
+
+def test_bwd_fused_column_chunking_accumulates():
+    """t > max_t: dv concatenates chunks, dx sums them."""
+    with gp.settings.kernel_matvec_highest(True):  # max_t -> 128
+        x, _, _ = _data(n=90, m=90, d=3, t=140, seed=51)
+        v = jax.random.normal(jax.random.PRNGKey(52), (90, 140), dtype=jnp.float32)
+        g = jax.random.normal(jax.random.PRNGKey(53), (90, 140), dtype=jnp.float32)
+
+        def dense_loss(x_, v_):
+            K = pk._kernel_fn(_dense_d2(x_, x_), pk.RBF)
+            return jnp.sum(g * (K @ v_))
+
+        want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
+        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
+    np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
+
+
+def test_dot_high_lane_packed_matches_three_pass():
+    """The t<=64 lane-packed 2-pass _dot_high is bit-identical to the generic 3-pass."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(61))
+    kv = jax.random.normal(k1, (64, 96), dtype=jnp.float32)
+    vv = jnp.pad(jax.random.normal(k2, (96, 40), dtype=jnp.float32), ((0, 0), (0, 88)))
+    packed = pk._dot_high(kv, vv, t_real=40)
+    generic = pk._dot_high(kv, vv)
+    np.testing.assert_array_equal(np.asarray(packed[:, :40]), np.asarray(generic[:, :40]))
+
+
+def test_forward_high_mode_lane_packed_small_t():
+    """_matvec_pallas high mode at t<=64 (the packed branch) vs dense reference."""
+    x1, x2, v = _data(n=200, m=300, d=3, t=33, seed=71)
+    with gp.settings.kernel_matvec_high(True):
+        got = pk._matvec_pallas(x1, x2, v, pk.RBF)
+    want = pk._matvec_reference(x1, x2, v, pk.RBF)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
