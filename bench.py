@@ -62,9 +62,14 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(
         gp.settings.preconditioner_noise_budget(float(os.environ.get("BENCH_BUDGET", "1e-3")))
     )
+    _warm = os.environ.get("BENCH_WARM", "0") == "1"
     st.enter_context(
-        gp.settings.skip_logdet_forward(os.environ.get("BENCH_SKIP_LOGDET", "0") == "1")
+        gp.settings.skip_logdet_forward(
+            _warm or os.environ.get("BENCH_SKIP_LOGDET", "0") == "1"
+        )
     )
+    # Warm-started solves require probe columns that mean the same thing step to step
+    st.enter_context(gp.settings.deterministic_probes(_warm))
     st.enter_context(
         gp.settings.preconditioner_highest_precision(os.environ.get("BENCH_PC_HIGHEST", "0") == "1")
     )
@@ -139,22 +144,29 @@ def main():
     model.covar_module.base_kernel.lengthscale = 0.5
     params = model.trainable_params()
 
+    _warm = _osf.environ.get("BENCH_WARM", "0") == "1"
+
     def make_step(use_pallas: bool, tx, ty):
         opt = optax.adam(0.1)
 
-        def loss_fn(p, k):
+        def loss_fn(p, k, st):
             m = model.with_params(p)
             m.train_inputs = (tx,)
             m.train_targets = ty
             with _solver_ctx(gp, use_pallas=use_pallas):
                 mll = ExactMarginalLogLikelihood(m.likelihood, m)
-                return -mll(m(tx), ty, key=k)
+                if _warm:
+                    # warm-started mBCG: solves carry across Adam steps (deterministic
+                    # probes + skip_logdet_forward; see solvers/inv_quad.py)
+                    val, new_st = mll(m(tx), ty, key=k, solver_state=st, return_state=True)
+                    return -val, new_st
+                return -mll(m(tx), ty, key=k), st
 
         @jax.jit
-        def step(p, s, k):
-            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+        def step(p, s, k, st):
+            (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, k, st)
             updates, s = opt.update(grads, s)
-            return optax.apply_updates(p, updates), s, loss
+            return optax.apply_updates(p, updates), s, loss, new_st
 
         return step, opt
 
@@ -173,8 +185,10 @@ def main():
 
     _T0 = time.time()
     p, s = params, state
+    _probes = int(_osv.environ.get("BENCH_PROBES", "31"))
+    solver_st = jnp.zeros((N, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
     pkey, sub = jax.random.split(pkey)
-    p, s, loss = step(p, s, sub)
+    p, s, loss, solver_st = step(p, s, sub, solver_st)
     _sync(loss)  # compile + one step
     _t("train step compiled")
 
@@ -183,7 +197,7 @@ def main():
     for _ in range(n_timed):
         pkey, sub = jax.random.split(pkey)
         t0 = time.time()
-        p, s, loss = step(p, s, sub)
+        p, s, loss, solver_st = step(p, s, sub, solver_st)
         _sync(loss)
         times.append(time.time() - t0)
     p_timed = p  # hypers as of the timed window — MFU is measured against THESE
@@ -199,7 +213,7 @@ def main():
     _t_rest = time.time()
     for _ in range(_total_steps - 9):
         pkey, sub = jax.random.split(pkey)
-        p, s, loss = step(p, s, sub)
+        p, s, loss, solver_st = step(p, s, sub, solver_st)
     _sync(loss)
     # mean over the whole run: late steps run more CG iterations than the timed window
     # (the system hardens as the noise converges), so this is the honest amortized cost
@@ -358,10 +372,11 @@ def main():
         def time_one(use_pallas):
             st2, opt2 = make_step(use_pallas, train_x[:nb], train_y[:nb])
             s2 = opt2.init(params)
-            p2, s2, l2 = st2(params, s2, jax.random.PRNGKey(3))
+            sst = jnp.zeros((nb, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
+            p2, s2, l2, sst = st2(params, s2, jax.random.PRNGKey(3), sst)
             _sync(l2)
             t0 = time.time()
-            p2, s2, l2 = st2(p2, s2, jax.random.PRNGKey(4))
+            p2, s2, l2, sst = st2(p2, s2, jax.random.PRNGKey(4), sst)
             _sync(l2)
             return time.time() - t0
 

@@ -68,30 +68,37 @@ class MultivariateNormal(Distribution):
         return self.loc.dtype
 
     # -- densities ---------------------------------------------------------------------------
-    def log_prob(self, value: jax.Array, key: Optional[jax.Array] = None, solver_config=None) -> jax.Array:
+    def log_prob(self, value: jax.Array, key: Optional[jax.Array] = None, solver_config=None,
+                 solver_state=None, return_state: bool = False) -> jax.Array:
         """Reference: multivariate_normal.py:221-252 → one inv_quad_logdet call (mBCG).
 
         ``key`` seeds the SLQ probe vectors; pass a fresh key per optimizer step inside a
         jitted training loop (otherwise probes are frozen at trace time).
         ``solver_config``: explicit hashable settings.SolverConfig overriding the ambient
         context settings for the solver knobs (jit-safe side channel).
+        ``solver_state``/``return_state``: warm-started mBCG solves across optimizer steps
+        (solvers/inv_quad.py) — with ``return_state`` the return is ``(log_prob, state)``.
         """
         if settings.fast_computations.log_prob.off():
-            return self._log_prob_cholesky(value)
+            lp = self._log_prob_cholesky(value)
+            return (lp, solver_state) if return_state else lp
         diff = value - self.loc
         covar = self._covar.evaluate_kernel()
         if diff.shape[:-1] != self.batch_shape:
             # broadcast sample dims: fold extra dims into columns where possible
             target = jnp.broadcast_shapes(diff.shape[:-1], self.batch_shape)
             diff = jnp.broadcast_to(diff, target + diff.shape[-1:])
-        inv_quad, logdet = covar.inv_quad_logdet(
-            inv_quad_rhs=diff[..., None], logdet=True, key=key, config=solver_config
+        res = covar.inv_quad_logdet(
+            inv_quad_rhs=diff[..., None], logdet=True, key=key, config=solver_config,
+            solver_state=solver_state, return_state=return_state,
         )
+        (inv_quad, logdet), state = res if return_state else (res, None)
         # Use the covariance's (global) size rather than the local event shape: under a
         # row-sharded operator the loc holds only this device's block while the operator
         # reports the global N (distributed/sharded.py).
         n = covar.shape[-1]
-        return -0.5 * (inv_quad + logdet + n * math.log(2 * math.pi))
+        lp = -0.5 * (inv_quad + logdet + n * math.log(2 * math.pi))
+        return (lp, state) if return_state else lp
 
     def _log_prob_cholesky(self, value):
         diff = value - self.loc

@@ -320,12 +320,18 @@ class LinearOperator(DictPyTree):
         reduce_inv_quad: bool = True,
         key: Optional[Array] = None,
         config=None,
+        solver_state: Optional[Array] = None,
+        return_state: bool = False,
     ) -> Tuple[Optional[Array], Optional[Array]]:
         """Compute (rhsᵀ self⁻¹ rhs, log|self|) in one pass — the BBMM hot path.
 
         Reference: gpytorch/__init__.py:118 (delegating to linear_operator's mBCG+SLQ).
         Small matrices / fast-computations-off: dense Cholesky.  Large: mBCG with
         pivoted-Cholesky preconditioning and stochastic Lanczos quadrature.
+
+        ``solver_state``/``return_state``: warm-started mBCG solves across optimizer steps
+        (see solvers/inv_quad.py docstring) — only meaningful on the iterative path; the
+        Cholesky path returns a zero-size state untouched.
         """
         if self._use_cholesky() or not settings.fast_computations.log_prob.on():
             from ..solvers.cholesky import psd_safe_cholesky
@@ -343,12 +349,14 @@ class LinearOperator(DictPyTree):
                 iq_term = jnp.sum(Linv_rhs * Linv_rhs, axis=-2)
                 if reduce_inv_quad:
                     iq_term = jnp.sum(iq_term, axis=-1)
+            if return_state:
+                return (iq_term, logdet_term), solver_state
             return iq_term, logdet_term
         from ..solvers.inv_quad import inv_quad_logdet_mbcg
 
         return inv_quad_logdet_mbcg(
             self.evaluate_kernel(), inv_quad_rhs, logdet=logdet, reduce_inv_quad=reduce_inv_quad,
-            key=key, config=config,
+            key=key, config=config, solver_state=solver_state, return_state=return_state,
         )
 
     def logdet(self) -> Array:

@@ -71,7 +71,11 @@ class BlockDiagLinearOperator(LinearOperator):
             res = lhs @ res
         return res[..., 0] if squeeze else res
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         rhs_b = None
         if inv_quad_rhs is not None:
             rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]

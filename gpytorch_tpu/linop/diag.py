@@ -89,7 +89,11 @@ class DiagLinearOperator(LinearOperator):
             res = lhs @ res
         return res
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         logdet_term = jnp.sum(jnp.log(self.diag), axis=-1) if logdet else None
         iq = None
         if inv_quad_rhs is not None:

@@ -122,7 +122,11 @@ class KroneckerProductLinearOperator(LinearOperator):
             res = lhs @ res
         return res[..., 0] if squeeze else res
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:
@@ -244,7 +248,11 @@ class KroneckerProductAddedDiagLinearOperator(LinearOperator):
         _, lam = self._eigs()
         return jnp.sum(jnp.log(lam + self.const_diag), axis=-1)
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:

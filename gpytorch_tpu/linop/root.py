@@ -122,7 +122,11 @@ class LowRankRootAddedDiagLinearOperator(LinearOperator):
         cap_logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
         return cap_logdet + self.diag_op.logdet()
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:

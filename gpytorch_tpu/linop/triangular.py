@@ -70,7 +70,11 @@ class TriangularLinearOperator(LinearOperator):
     def logdet(self):
         return jnp.sum(jnp.log(jnp.abs(self._diagonal())), axis=-1)
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:
@@ -131,7 +135,11 @@ class CholLinearOperator(LinearOperator):
         # Cholesky parameters whose diagonal may go negative during optimization.
         return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(self.L, axis1=-2, axis2=-1)) + 1e-20), axis=-1)
 
-    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None):
+    def inv_quad_logdet(self, inv_quad_rhs=None, logdet=False, reduce_inv_quad=True, key=None, config=None,
+                        solver_state=None, return_state=False):
+        if return_state:  # closed-form solve: warm-start state passes through untouched
+            res = self.inv_quad_logdet(inv_quad_rhs, logdet, reduce_inv_quad, key, config)
+            return res, solver_state
         ld = self.logdet() if logdet else None
         iq = None
         if inv_quad_rhs is not None:

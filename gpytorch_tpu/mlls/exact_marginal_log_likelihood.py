@@ -34,18 +34,30 @@ class ExactMarginalLogLikelihood(MarginalLogLikelihood):
             res = res + lik_prior
         return res
 
-    def forward(self, function_dist: MultivariateNormal, target, *params, key=None, solver_config=None, **kwargs):
+    def forward(self, function_dist: MultivariateNormal, target, *params, key=None, solver_config=None,
+                solver_state=None, return_state: bool = False, **kwargs):
         """Reference :54-89; ``observation_nan_policy`` ∈ {ignore, mask, fill} (:71-81).
 
         ``key`` seeds the SLQ probe vectors (fresh stochastic-trace probes each step); thread
         a per-step key through jitted training loops.  ``solver_config``: explicit
         ``settings.SolverConfig`` snapshot overriding ambient solver settings under jit.
+
+        ``solver_state``/``return_state``: warm-started mBCG solves across optimizer steps
+        (TPU-native extension; requires skip_logdet_forward + deterministic_probes — see
+        solvers/inv_quad.py).  With ``return_state`` the call returns ``(mll, new_state)``;
+        thread the state through the jitted training loop like optimizer state.
         """
         if not isinstance(function_dist, MultivariateNormal):
             raise RuntimeError("ExactMarginalLogLikelihood requires an MVN model output")
         nan_policy = settings.observation_nan_policy.value()
         output = self.likelihood(function_dist, *params, **kwargs)
-        if nan_policy == "ignore":
+        state = solver_state
+        if return_state:
+            if nan_policy != "ignore":
+                raise ValueError("warm-started solves support observation_nan_policy='ignore' only")
+            res, state = output.log_prob(target, key=key, solver_config=solver_config,
+                                         solver_state=solver_state, return_state=True)
+        elif nan_policy == "ignore":
             res = output.log_prob(target, key=key, solver_config=solver_config)
         elif nan_policy == "mask":
             from ..linop import MaskedLinearOperator
@@ -68,4 +80,6 @@ class ExactMarginalLogLikelihood(MarginalLogLikelihood):
         # num_data from the covariance's (global) size — equals the event-shape product for
         # single-device models, and the global N·t when rows are sharded over a mesh.
         num_data = function_dist.lazy_covariance_matrix.shape[-1]
+        if return_state:
+            return res / num_data, state
         return res / num_data

@@ -52,6 +52,8 @@ class _IQConfig:
     mv_bf16: bool = False
     mv_highest: bool = False
     mv_high: bool = False
+    # warm-started solves: CG starts from the caller-supplied previous solution
+    warm: bool = False
 
 
 # Host-level probe counter: when no explicit key is given and deterministic_probes is off,
@@ -95,12 +97,23 @@ def inv_quad_logdet_mbcg(
     reduce_inv_quad: bool = True,
     key: Optional[jax.Array] = None,
     config: Optional["settings.SolverConfig"] = None,
+    solver_state: Optional[jax.Array] = None,
+    return_state: bool = False,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array]]:
     """``config``: an explicit hashable :class:`settings.SolverConfig` (from
     ``settings.snapshot()``) overriding the ambient context-manager settings for the
     CG/SLQ knobs.  Use it as the static side-channel when jitting the same function under
     multiple solver configurations — global context state is only read at trace time and a
-    cached executable silently ignores later context changes."""
+    cached executable silently ignores later config changes.
+
+    ``solver_state`` / ``return_state`` — warm-started training solves (TPU-native
+    extension; no reference analogue): pass the previous step's solves (*batch, n,
+    t_rhs + num_probes) as ``solver_state`` and set ``return_state=True`` to get
+    ``((iq, ld), new_state)`` back.  Successive Adam steps move the hypers slowly, so
+    CG started from the previous solves converges in a fraction of the iterations.
+    Requires ``settings.skip_logdet_forward`` (Lanczos tridiagonals need a zero initial
+    guess) and only makes sense with ``settings.deterministic_probes`` (the probe columns
+    must mean the same thing step to step).  The state carries no gradient."""
     has_rhs = inv_quad_rhs is not None
     sc = config if config is not None else settings.snapshot()
     cfg = _IQConfig(
@@ -127,10 +140,27 @@ def inv_quad_logdet_mbcg(
         rhs = inv_quad_rhs if inv_quad_rhs.ndim > 1 else inv_quad_rhs[:, None]
     else:
         rhs = jnp.zeros(linop.batch_shape + (n, 1), dtype=linop.dtype)
-    iq, ld = _mbcg_iq_logdet(cfg, linop, rhs, _resolve_probe_key(key, sc.deterministic_probes if config is not None else None))
+    if solver_state is not None:
+        if cfg.logdet and not cfg.skip_logdet_forward:
+            raise ValueError(
+                "warm-started solves (solver_state) require settings.skip_logdet_forward: "
+                "the SLQ Lanczos tridiagonals are only valid for a zero initial guess"
+            )
+        cfg = dataclasses.replace(cfg, warm=True)
+    else:
+        t_total = (rhs.shape[-1] if has_rhs else 0) + (cfg.num_probes if cfg.logdet else 0)
+        solver_state = jnp.zeros(linop.batch_shape + (rhs.shape[-2], max(t_total, 1)), dtype=rhs.dtype)
+    iq, ld, solves = _mbcg_iq_logdet(
+        cfg, linop, rhs,
+        _resolve_probe_key(key, sc.deterministic_probes if config is not None else None),
+        solver_state,
+    )
     if has_rhs and inv_quad_rhs.ndim == 1 and not reduce_inv_quad:
         iq = iq[..., 0]
-    return (iq if has_rhs else None), (ld if logdet else None)
+    out = (iq if has_rhs else None), (ld if logdet else None)
+    if return_state:
+        return out, solves
+    return out
 
 
 def _build_preconditioner(linop):
@@ -140,7 +170,7 @@ def _build_preconditioner(linop):
     return linop_d._preconditioner()
 
 
-def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
+def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
     n = linop.shape[-1]
     batch = linop.batch_shape
     dt = rhs.dtype
@@ -188,6 +218,7 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
         n_tridiag_iter=n_tri,
         axis_name=axis,
         global_n=n,
+        x0=jax.lax.stop_gradient(x0) if cfg.warm else None,
     )
     solves = result.solution
 
@@ -224,17 +255,18 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key):
             if logdet_P is not None:
                 ld = ld + logdet_P.astype(dt)
     residuals = (linop, rhs, key, s_rhs, probes, norms, s_probe, Pinv_probes)
-    return (iq, ld), residuals
+    # solves is returned (stop-gradiented) as the warm-start state for the next step
+    return (iq, ld, jax.lax.stop_gradient(solves)), residuals
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _mbcg_iq_logdet(cfg: _IQConfig, linop, rhs, key):
-    out, _ = _mbcg_forward(cfg, linop, rhs, key)
+def _mbcg_iq_logdet(cfg: _IQConfig, linop, rhs, key, x0):
+    out, _ = _mbcg_forward(cfg, linop, rhs, key, x0)
     return out
 
 
-def _mbcg_fwd(cfg, linop, rhs, key):
-    return _mbcg_forward(cfg, linop, rhs, key)
+def _mbcg_fwd(cfg, linop, rhs, key, x0):
+    return _mbcg_forward(cfg, linop, rhs, key, x0)
 
 
 def _mbcg_bwd(cfg, residuals, g):
@@ -243,7 +275,7 @@ def _mbcg_bwd(cfg, residuals, g):
     _had_precond = Pinv_probes is not None
     if not _had_precond and cfg.logdet:
         Pinv_probes = probes
-    g_iq, g_ld = g
+    g_iq, g_ld, _ = g  # solves output is stop-gradiented state — its cotangent is discarded
     axis = getattr(linop, "shard_axis_name", None)
 
     def _rowsum(x):
@@ -311,7 +343,13 @@ def _mbcg_bwd(cfg, residuals, g):
     import numpy as np
 
     key_bar = np.zeros(np.shape(key), dtype=jax.dtypes.float0)
-    return linop_bar, rhs_bar, key_bar
+    # warm-start state carries no gradient (stop-gradiented on entry); shape must mirror
+    # the x0 input exactly — cold calls pass a max(t,1)-column zeros placeholder
+    t_state = (s_rhs.shape[-1] if cfg.has_rhs else 0) + (probes.shape[-1] if cfg.logdet else 0)
+    if not cfg.warm:
+        t_state = max(t_state, 1)
+    x0_bar = jnp.zeros(rhs.shape[:-1] + (t_state,), dtype=rhs.dtype)
+    return linop_bar, rhs_bar, key_bar, x0_bar
 
 
 _mbcg_iq_logdet.defvjp(_mbcg_fwd, _mbcg_bwd)
