@@ -592,6 +592,150 @@ def _periodic_matvec_pallas(x1p, x2p, w, v):
     return out[:n, :t]
 
 
+def _periodic_bwd_fused_pallas(xp, w, g, v):
+    """Fused symmetric periodic backward (x1p ≡ x2p): ONE tile build → (dv, dx, dw).
+
+    The separate backward streams (c, m, d) difference tensors per row chunk — ~2.4 GB of
+    intermediates at N=100k.  Here every reduction is expressed through the angle-addition
+    identities, so only (BN, BM) tiles and (m, d) trig tables exist:
+      sin(2π(a_i − a_j)) = s_i c_j − c_i s_j,   sin²(π(a_i − a_j)) = ½(1 − c_i c_j − s_i s_j)
+    with s = sin(2πa), c = cos(2πa) columnwise per dimension.  Reductions per row block:
+      dv[i]  = Σ_j K_ij g_j
+      dx[i,d] = −2π w_d [ s_id (GG·c_d)_i − c_id (GG·s_d)_i ],   GG = K ∘ (g vᵀ + v gᵀ)
+      dwp[i,d] = −(KW·1)_i + c_id (KW·c_d)_i + s_id (KW·s_d)_i,  KW = K ∘ (g vᵀ);  dw = Σ_i dwp
+    """
+    from jax.experimental import pallas as pl
+
+    from .. import settings
+
+    max_t = _max_t()
+    if v.shape[1] > max_t:
+        dv_tot, dx_tot, dw_tot = None, None, None
+        for i in range(0, v.shape[1], max_t):
+            dv_p, dx_p, dw_p = _periodic_bwd_fused_pallas(xp, w, g[:, i : i + max_t], v[:, i : i + max_t])
+            dv_tot = dv_p if dv_tot is None else jnp.concatenate([dv_tot, dv_p], axis=1)
+            dx_tot = dx_p if dx_tot is None else dx_tot + dx_p
+            dw_tot = dw_p if dw_tot is None else dw_tot + dw_p
+        return dv_tot, dx_tot, dw_tot
+    n, d = xp.shape
+    t = v.shape[1]
+    bf16 = bool(settings.kernel_matvec_bf16.on())
+    Np = _round_up(n, _BN)
+    Dp = max(_round_up(d, 8), 8)
+    Tp = _round_up(t, _LANE)
+    nj = -(-Np // _BM)
+    Mp = nj * _BM
+    n_sub = 2
+
+    xpp = _pad_to(_pad_to(xp, Np, 0), Dp, 1)
+    xj = _pad_to(xpp, Mp, 0)
+    xjt = jnp.swapaxes(xj, 0, 1)  # (Dp, Mp)
+    wf = jnp.broadcast_to(jnp.reshape(w, (-1,)), (d,)).astype(xp.dtype)
+    wp_full = _pad_to(_pad_to(wf[None, :], 8, 0), Dp, 1)  # (8, Dp)
+    # columnwise trig tables (cheap O(n d) host-of-kernel precompute)
+    s_tab = jnp.sin(2.0 * jnp.pi * xpp)  # (Np, Dp) — padded dims give sin(0)=0 ✓
+    c_tab = jnp.where(
+        jnp.arange(Dp) < d, jnp.cos(2.0 * jnp.pi * xpp), 0.0
+    )  # zero padded dims so c_i c_j terms vanish there
+    s_j = _pad_to(s_tab, Mp, 0)
+    c_j = _pad_to(c_tab, Mp, 0)
+    gp = _pad_to(_pad_to(g, Np, 0), Tp, 1)
+    vp = _pad_to(_pad_to(v, Np, 0), Tp, 1)
+    gj = _pad_to(gp, Mp, 0)
+    vj = _pad_to(vp, Mp, 0)
+
+    def kernel(x1_ref, x2t_ref, w_ref, si_ref, ci_ref, sj_ref, cj_ref,
+               gi_ref, gj_ref, vi_ref, vj_ref, dv_ref, dx_ref, dwp_ref):
+        j = pl.program_id(1)
+        a = x1_ref[:]
+        gi = gi_ref[:]
+        vi = vi_ref[:]
+        si = si_ref[:]
+        ci = ci_ref[:]
+        sub = _BM // n_sub
+        dv_acc = None
+        dx_acc = None
+        dw_acc = None
+        for s_blk in range(n_sub):
+            sl = slice(s_blk * sub, (s_blk + 1) * sub)
+            bt = x2t_ref[:, sl]
+            total = None
+            for k in range(d):
+                sn = jnp.sin(jnp.pi * (a[:, k : k + 1] - bt[k : k + 1, :]))
+                term = w_ref[0, k] * (sn * sn)
+                total = term if total is None else total + term
+            kv = jnp.exp(-2.0 * total)
+            gj_s = gj_ref[sl, :]
+            vj_s = vj_ref[sl, :]
+            if bf16:
+                dv_p = jnp.dot(kv.astype(jnp.bfloat16), gj_s.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            else:
+                dv_p = jnp.dot(kv, gj_s, preferred_element_type=jnp.float32)
+            gv = jax.lax.dot_general(gi, vj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            vg = jax.lax.dot_general(vi, gj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            KW = kv * gv
+            GG = KW + kv * vg
+            sj_s = sj_ref[sl, :]
+            cj_s = cj_ref[sl, :]
+            GGc = jnp.dot(GG, cj_s, preferred_element_type=jnp.float32)  # (BN, Dp)
+            GGs = jnp.dot(GG, sj_s, preferred_element_type=jnp.float32)
+            dx_p = si * GGc - ci * GGs  # × (−2π w_d) applied outside
+            KW1 = jnp.sum(KW, axis=-1, keepdims=True)  # (BN, 1)
+            KWc = jnp.dot(KW, cj_s, preferred_element_type=jnp.float32)
+            KWs = jnp.dot(KW, sj_s, preferred_element_type=jnp.float32)
+            dw_p = ci * KWc + si * KWs - KW1  # (BN, Dp); −KW1 only on real dims (handled outside)
+            dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
+            dx_acc = dx_p if dx_acc is None else dx_acc + dx_p
+            dw_acc = dw_p if dw_acc is None else dw_acc + dw_p
+
+        @pl.when(j == 0)
+        def _():
+            dv_ref[:] = dv_acc.astype(dv_ref.dtype)
+            dx_ref[:] = dx_acc.astype(dx_ref.dtype)
+            dwp_ref[:] = dw_acc.astype(dwp_ref.dtype)
+
+        @pl.when(j != 0)
+        def _():
+            dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
+            dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
+            dwp_ref[:] = dwp_ref[:] + dw_acc.astype(dwp_ref.dtype)
+
+    dv, dx_raw, dwp = pl.pallas_call(
+        kernel,
+        grid=(Np // _BN, nj),
+        in_specs=[
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)),
+            pl.BlockSpec((8, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+            jax.ShapeDtypeStruct((Np, Dp), xp.dtype),
+            jax.ShapeDtypeStruct((Np, Dp), xp.dtype),
+        ],
+        interpret=_interpret(),
+    )(xpp, xjt, wp_full, s_tab, c_tab, s_j, c_j, gp, gj, vp, vj)
+    dx = (-2.0 * jnp.pi) * wf * dx_raw[:n, :d]
+    # dwp's −KW1 column term was added on every Dp lane; only real dims count, and
+    # sin²=½(1−cc−ss) carries the ½ and the −2 outer factor → net scale −1·(−(1−cc−ss)) …
+    # dw_d = −2 Σ_i ½ (KW1 − c KWc − s KWs) = Σ_i dwp[:, d]
+    dw = jnp.sum(dwp[:n, :d], axis=0)
+    return dv[:n, :t], dx, dw
+
+
 def _periodic_matvec_reference(x1p, x2p, w, v):
     diff = x1p[:, None, :] - x2p[None, :, :]
     K = jnp.exp(-2.0 * jnp.sum(jnp.reshape(w, (-1,)) * jnp.sin(jnp.pi * diff) ** 2, axis=-1))
@@ -616,6 +760,11 @@ def _fpm_bwd(res, g):
     """Streamed backward: row-chunked trig-moment passes (one training-step cost; the CG
     hot loop only ever runs the forward)."""
     x1p, x2p, w, v = res
+    if _use_pallas() and x1p is x2p:
+        # training case: one fused tile build yields dv, dx1+dx2 and dw (identity-based
+        # reductions — no (c, m, d) difference tensors); cotangent sum delivered in slot 0
+        dv, dx, dw = _periodic_bwd_fused_pallas(x1p, w, g, v)
+        return dx, jnp.zeros_like(dx), dw.reshape(jnp.shape(w)).astype(jnp.asarray(w).dtype), dv
     wf = jnp.reshape(w, (-1,))
     dv = fused_periodic_matvec(x2p, x1p, w, g)
 

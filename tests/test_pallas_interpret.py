@@ -305,3 +305,46 @@ def test_forward_high_mode_lane_packed_small_t():
         got = pk._matvec_pallas(x1, x2, v, pk.RBF)
     want = pk._matvec_reference(x1, x2, v, pk.RBF)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_periodic_bwd_fused_symmetric_matches_dense_grad():
+    """Fused symmetric periodic backward (dv, dx, dw) vs jax.grad of the dense op."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(81), 3)
+    xp = jax.random.normal(k1, (150, 3), dtype=jnp.float32)
+    v = jax.random.normal(k2, (150, 4), dtype=jnp.float32)
+    g = jax.random.normal(k3, (150, 4), dtype=jnp.float32)
+    w = jnp.asarray([0.7, 1.3, 0.4], jnp.float32)
+
+    def dense_loss(x_, w_, v_):
+        diff = x_[:, None, :] - x_[None, :, :]
+        K = jnp.exp(-2.0 * jnp.sum(w_ * jnp.sin(jnp.pi * diff) ** 2, axis=-1))
+        return jnp.sum(g * (K @ v_))
+
+    want_dx, want_dw, want_dv = jax.grad(dense_loss, argnums=(0, 1, 2))(xp, w, v)
+    got_dv, got_dx, got_dw = pk._periodic_bwd_fused_pallas(xp, w, g, v)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
+    np.testing.assert_allclose(got_dw, want_dw, rtol=3e-4, atol=3e-4, err_msg="dw")
+    np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
+
+
+def test_periodic_custom_vjp_symmetric_routing():
+    """grad through fused_periodic_matvec(x, x, w, v) (the training call shape)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(91), 3)
+    xp = jax.random.normal(k1, (130, 2), dtype=jnp.float32)
+    v = jax.random.normal(k2, (130, 3), dtype=jnp.float32)
+    g = jax.random.normal(k3, (130, 3), dtype=jnp.float32)
+    w = jnp.asarray([[0.9, 0.5]], jnp.float32)  # 2-D w shape (reference layout)
+
+    def fused_loss(x_, w_, v_):
+        return jnp.sum(g * pk.fused_periodic_matvec(x_, x_, w_, v_))
+
+    def dense_loss(x_, w_, v_):
+        diff = x_[:, None, :] - x_[None, :, :]
+        K = jnp.exp(-2.0 * jnp.sum(jnp.reshape(w_, (-1,)) * jnp.sin(jnp.pi * diff) ** 2, axis=-1))
+        return jnp.sum(g * (K @ v_))
+
+    got = jax.grad(fused_loss, argnums=(0, 1, 2))(xp, w, v)
+    want = jax.grad(dense_loss, argnums=(0, 1, 2))(xp, w, v)
+    for gg, ww_, name in zip(got, want, ("dx", "dw", "dv")):
+        assert gg.shape == ww_.shape, name
+        np.testing.assert_allclose(gg, ww_, rtol=3e-4, atol=3e-4, err_msg=name)
