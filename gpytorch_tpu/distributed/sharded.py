@@ -194,11 +194,29 @@ def make_sharded_mll(mesh: Mesh, model, mll_cls=None, axis_name: str = "data"):
         mll = mll_cls(m.likelihood, m)
         return mll(output, y_local, key=key)
 
-    def mll_value(params, x, y, key=None):
+    def body_warm(params, x_local, y_local, key, st_local):
+        m = model.with_params(params)
+        m.set_train_data(x_local, y_local, strict=False)
+        output = m(x_local)
+        mll = mll_cls(m.likelihood, m)
+        return mll(output, y_local, key=key, solver_state=st_local, return_state=True)
+
+    def mll_value(params, x, y, key=None, solver_state=None, return_state=False):
+        """``solver_state``/``return_state``: warm-started sharded mBCG — the state is the
+        ROW-SHARDED previous solves (*n_local rows per device, like y*); requires
+        skip_logdet_forward + deterministic_probes (see solvers/inv_quad.py)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         param_specs = jax.tree_util.tree_map(lambda _: P(), params)
         y_spec = P(axis_name) if y.ndim == 1 else P(axis_name, None)
+        if return_state:
+            fn = shard_map(
+                body_warm,
+                mesh=mesh,
+                in_specs=(param_specs, P(axis_name, None), y_spec, P(), P(axis_name, None)),
+                out_specs=(P(), P(axis_name, None)),
+            )
+            return fn(params, x, y, key, solver_state)
         fn = shard_map(
             body,
             mesh=mesh,

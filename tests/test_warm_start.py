@@ -139,3 +139,39 @@ def test_warm_start_requires_skip_logdet_forward():
     with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(8), \
          pytest.raises(ValueError, match="skip_logdet_forward"):
         mll(m(x), y, solver_state=st, return_state=True)
+
+
+def test_sharded_warm_start_parity():
+    """Warm-started sharded mBCG: same value as the cold sharded call; row-sharded state."""
+    import numpy as np_
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gpytorch_tpu.distributed import ShardedKernel, make_sharded_mll
+
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = 64 * n_dev
+    kx, ky = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.uniform(kx, (n, 2), dtype=jnp.float32)
+    y = jnp.sin(4 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), dtype=jnp.float32)
+
+    class M(ExactGP):
+        def __init__(self, tx, ty, lik):
+            super().__init__(tx, ty, lik)
+            self.mean_module = ConstantMean()
+            self.covar_module = ShardedKernel(ScaleKernel(RBFKernel(ard_num_dims=2)), num_devices=n_dev)
+
+        def forward(self, xx):
+            return MultivariateNormal(self.mean_module(xx), self.covar_module(xx))
+
+    m = M(x, y, GaussianLikelihood())
+    params = m.trainable_params()
+    with _ctx():
+        mll_fn = make_sharded_mll(mesh, m)
+        cold = float(mll_fn(params, x, y, key=jax.random.PRNGKey(1)))
+        st0 = jnp.zeros((n, 9), jnp.float32)
+        v1, st1 = mll_fn(params, x, y, key=jax.random.PRNGKey(1), solver_state=st0, return_state=True)
+        assert st1.shape == (n, 9)
+        v2, st2 = mll_fn(params, x, y, key=jax.random.PRNGKey(1), solver_state=st1, return_state=True)
+    np.testing.assert_allclose(float(v1), cold, rtol=1e-4)
+    np.testing.assert_allclose(float(v2), cold, rtol=1e-3)
