@@ -25,4 +25,12 @@ echo "=== 5. cold-eval dissection ==="
 timeout 1500 python _prof_cold.py highest > /tmp/chip_cold.log 2>&1
 echo "rc=$?" >> /tmp/chip_cold.log
 
+echo "=== 6. probes=63 (same MXU cost with the packed high dot; halves SLQ variance) ==="
+timeout 3000 env BENCH_PROBES=63 BENCH_FAST=1 python bench.py > /tmp/chip_bench_p63.log 2>&1
+echo "rc=$?" >> /tmp/chip_bench_p63.log
+
+echo "=== 7. warm + HIGHEST training (deep-NLL basin at warm-start cost?) ==="
+timeout 3000 env BENCH_WARM=1 BENCH_TRAIN_PREC=highest BENCH_FAST=1 python bench.py > /tmp/chip_bench_warmhi.log 2>&1
+echo "rc=$?" >> /tmp/chip_bench_warmhi.log
+
 echo "ALL CHIP TASKS DONE"
