@@ -348,3 +348,37 @@ def test_periodic_custom_vjp_symmetric_routing():
     for gg, ww_, name in zip(got, want, ("dx", "dw", "dv")):
         assert gg.shape == ww_.shape, name
         np.testing.assert_allclose(gg, ww_, rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_bwd_fused_row_col_tile_mismatch():
+    """Np (row-tile multiple) != Mp (col-tile multiple): the column-repad branch."""
+    # _BN=128, _BM=256 (fixture): n=300 -> Np=384, Mp=512
+    x, _, _ = _data(n=300, m=300, d=3, t=3, seed=61)
+    v = jax.random.normal(jax.random.PRNGKey(62), (300, 3), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(63), (300, 3), dtype=jnp.float32)
+
+    def dense_loss(x_, v_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), pk.RBF)
+        return jnp.sum(g * (K @ v_))
+
+    want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
+    got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
+    np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
+
+
+def test_bwd_fused_bf16_mode():
+    """bf16 dv branch of the fused backward (loose tolerance, one-pass rounding)."""
+    x, _, _ = _data(n=140, m=140, d=3, t=4, seed=65)
+    v = jax.random.normal(jax.random.PRNGKey(66), (140, 4), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(67), (140, 4), dtype=jnp.float32)
+
+    def dense_loss(x_, v_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), pk.RBF)
+        return jnp.sum(g * (K @ v_))
+
+    want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
+    with gp.settings.kernel_matvec_bf16(True):
+        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=2e-2, atol=2e-2, err_msg="dx")
+    np.testing.assert_allclose(got_dv, want_dv, rtol=2e-2, atol=2e-2, err_msg="dv")
