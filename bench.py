@@ -30,11 +30,26 @@ plain-XLA chunked-matmul step (the direct-translation baseline) at N=20k on the 
 
 import contextlib
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache: repeat bench runs (sweeps, driver rounds on the same
+# machine) skip re-lowering/re-compiling the big while-loop programs.  First-ever run is
+# unaffected; BENCH_COMPILE_CACHE=0 disables.
+if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GPYTORCH_TPU_JIT_CACHE", "/tmp/gpytorch_tpu_bench_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or plugin without persistent-cache support
 
 # v5e peak: 197 TFLOP/s bf16 per chip
 _PEAK_FLOPS = 197e12
@@ -68,8 +83,16 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
             _warm or os.environ.get("BENCH_SKIP_LOGDET", "0") == "1"
         )
     )
-    # Warm-started solves require probe columns that mean the same thing step to step
-    st.enter_context(gp.settings.deterministic_probes(_warm))
+    # Warm-started solves need probe columns that mean the same thing step to step.
+    # Default: WINDOWED keys (same explicit key for BENCH_WARM_WINDOW consecutive steps,
+    # fresh each window) so the logdet-gradient bias of frozen probes averages out across
+    # windows at the cost of one colder solve per window.  BENCH_WARM_DETERMINISTIC=1
+    # freezes probes globally instead (reference deterministic_probes semantics).
+    st.enter_context(
+        gp.settings.deterministic_probes(
+            _warm and os.environ.get("BENCH_WARM_DETERMINISTIC", "0") == "1"
+        )
+    )
     st.enter_context(
         gp.settings.preconditioner_highest_precision(os.environ.get("BENCH_PC_HIGHEST", "0") == "1")
     )
@@ -186,16 +209,29 @@ def main():
     _T0 = time.time()
     p, s = params, state
     _probes = int(_osv.environ.get("BENCH_PROBES", "31"))
+    _warm_window = int(_osv.environ.get("BENCH_WARM_WINDOW", "10"))
     solver_st = jnp.zeros((N, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
-    pkey, sub = jax.random.split(pkey)
-    p, s, loss, solver_st = step(p, s, sub, solver_st)
+    _step_idx = 0
+
+    def _next_key():
+        # default path: the original split chain (preserves the validated basin).
+        # warm path: windowed keys — same probe key for _warm_window consecutive steps
+        # (warm start valid within a window), fresh each window (bias averages out).
+        nonlocal pkey, _step_idx
+        pkey, sub = jax.random.split(pkey)
+        if _warm:
+            sub = jax.random.PRNGKey(7000 + _step_idx // _warm_window)
+        _step_idx += 1
+        return sub
+
+    p, s, loss, solver_st = step(p, s, _next_key(), solver_st)
     _sync(loss)  # compile + one step
     _t("train step compiled")
 
     n_timed = 8
     times = []
     for _ in range(n_timed):
-        pkey, sub = jax.random.split(pkey)
+        sub = _next_key()
         t0 = time.time()
         p, s, loss, solver_st = step(p, s, sub, solver_st)
         _sync(loss)
@@ -212,8 +248,7 @@ def main():
     _total_steps = int(_os0.environ.get("BENCH_STEPS", "120"))
     _t_rest = time.time()
     for _ in range(_total_steps - 9):
-        pkey, sub = jax.random.split(pkey)
-        p, s, loss, solver_st = step(p, s, sub, solver_st)
+        p, s, loss, solver_st = step(p, s, _next_key(), solver_st)
     _sync(loss)
     # mean over the whole run: late steps run more CG iterations than the timed window
     # (the system hardens as the noise converges), so this is the honest amortized cost
