@@ -112,10 +112,19 @@ class FixedGaussianNoise(Module):
         self.noise = jnp.asarray(noise)
 
     def forward(self, *params, shape=None, noise=None):
+        from .. import settings
+
+        def _clamp(v):
+            # settings.min_fixed_noise (reference settings.py:284): user-supplied noise
+            # below the dtype floor destabilizes the K̂ solves — clamp, as the reference
+            # FixedNoiseGaussianLikelihood does.
+            v = jnp.asarray(v)
+            return jnp.maximum(v, jnp.asarray(settings.min_fixed_noise.value(v.dtype), v.dtype))
+
         if noise is not None:
-            return DiagLinearOperator(jnp.asarray(noise))
+            return DiagLinearOperator(_clamp(noise))
         if shape is None or shape[-1] == self.noise.shape[-1]:
-            return DiagLinearOperator(self.noise)
+            return DiagLinearOperator(_clamp(self.noise))
         from ..linop import ZeroLinearOperator
 
         return ZeroLinearOperator(*(tuple(shape) + (shape[-1],)), dtype=self.noise.dtype)

@@ -68,7 +68,13 @@ class AddedDiagLinearOperator(LinearOperator):
             return None, None, None
         from ..solvers.pivoted_cholesky import pivoted_cholesky
 
-        L = pivoted_cholesky(self.base, rank=k)  # (..., n, k)
+        # settings.preconditioner_tolerance: stop adding pivot columns once the residual
+        # trace is below this fraction of the original (linear_operator's preconditioner
+        # early exit) — trailing columns come out exactly zero, which the Woodbury apply
+        # below treats as inert
+        L = pivoted_cholesky(
+            self.base, rank=k, rel_tol=float(settings.preconditioner_tolerance.value())
+        )  # (..., n, k)
         diag = self.diag_op._diag_values()
         # τ-regularization (settings.preconditioner_noise_budget): bound cond(P) so the
         # finite-precision apply noise (~eps·cond(P), amplified λ_max-fold by K̂ inside CG)

@@ -371,7 +371,20 @@ class LinearOperator(DictPyTree):
 
     # ------------------------------------------------------------------ sampling
     def zero_mean_mvn_samples(self, key: Array, num_samples: int) -> Array:
-        """Draw N(0, self) samples of shape (num_samples, *batch, n)."""
+        """Draw N(0, self) samples of shape (num_samples, *batch, n).
+
+        With ``settings.ciq_samples`` on, samples are drawn as K^{1/2}ε via
+        contour-integral quadrature (msMINRES) instead of a Lanczos root decomposition —
+        the reference linear_operator's CIQ sampling path (settings.py:472), preferred
+        when a low-rank root truncates the spectrum too aggressively.
+        """
+        n = self.shape[-1]
+        if settings.ciq_samples.on():
+            from ..solvers.contour import contour_integral_quad
+
+            base = jax.random.normal(key, self.batch_shape + (n, num_samples), dtype=self.dtype)
+            samples = contour_integral_quad(self, base, inverse=False)  # K^{1/2} ε
+            return jnp.moveaxis(samples, -1, 0)
         root = self.root_decomposition().root
         k = root.shape[-1]
         base = jax.random.normal(key, (num_samples,) + self.batch_shape + (k, 1), dtype=self.dtype)

@@ -56,6 +56,10 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         """
         n, m = self.shape[-2:]
         big = n * m > settings.max_eager_kernel_size.value() ** 2
+        # settings.memory_efficient (reference settings.py:272): never materialize plain
+        # kernels regardless of size — everything streams through the fused/chunked matvec
+        if settings.memory_efficient.on() and not self.last_dim_is_batch:
+            big = True
         if big and not getattr(self.kernel, "returns_lazy_structure", False):
             return self
         with settings.lazily_evaluate_kernels(False):
@@ -83,7 +87,8 @@ class LazyEvaluatedKernelOperator(LinearOperator):
 
     def _matmul(self, rhs):
         n, m = self.shape[-2:]
-        if n * m <= settings.max_eager_kernel_size.value() ** 2 or self.last_dim_is_batch:
+        small = n * m <= settings.max_eager_kernel_size.value() ** 2
+        if (small and not settings.memory_efficient.on()) or self.last_dim_is_batch:
             return self.evaluate_kernel()._matmul(rhs)
         fused = self._try_fused_matvec(rhs)
         if fused is not None:

@@ -75,6 +75,9 @@ def linear_cg(
         tolerance = settings.cg_tolerance.value()
     n = rhs.shape[-2] if global_n is None else global_n
     max_iter = int(min(max_iter, 2 * n + 10))
+    if settings.terminate_cg_by_size.on():
+        # reference knob: CG is exact after n iterations in exact arithmetic — cap there
+        max_iter = int(min(max_iter, n + 1))
     n_tridiag_iter = int(min(n_tridiag_iter, max_iter))
     if precond_fn is None:
         precond_fn = lambda v: v

@@ -106,12 +106,18 @@ def _estimate_spectrum(linop) -> Tuple[jax.Array, jax.Array]:
     return min_e, max_e
 
 
-def shifted_cg(matmul_fn, rhs, shifts, max_iter: int, tol: float = 1e-10):
+def shifted_cg(matmul_fn, rhs, shifts, max_iter: int, tol: Optional[float] = None):
     """Multi-shift CG (Jegerlehner 1996): solve (A + t_j I) x_j = rhs for all shifts with
     one matvec per iteration (shift-invariance of Krylov spaces).
 
     rhs: (..., n, t); shifts: (q,) ≥ 0.  Returns (q, ..., n, t).
+
+    ``tol``: relative residual (of the unshifted system — it upper-bounds every shifted
+    residual) below which the loop exits early; defaults to
+    ``settings.minres_tolerance`` (the reference knob gating msMINRES convergence).
     """
+    if tol is None:
+        tol = float(settings.minres_tolerance.value())
     q = shifts.shape[0]
     dt = rhs.dtype
 
@@ -154,8 +160,19 @@ def shifted_cg(matmul_fn, rhs, shifts, max_iter: int, tol: float = 1e-10):
         p_s_new = zeta_next[..., None, :] * r_new + beta_s[..., None, :] * p_s
         return (x, r_new, p_new, p_s_new, rz_new, zeta_cur, zeta_next, alpha, beta)
 
+    rhs_norm2 = jnp.maximum(jnp.max(jnp.sum(rhs * rhs, axis=-2)), eps)
+
+    def body_k(state_k):
+        k, state = state_k
+        return (k + 1, body(k, state))
+
+    def cond_k(state_k):
+        k, state = state_k
+        rz_cur = state[4]
+        return jnp.logical_and(k < max_iter, jnp.max(rz_cur) > (tol * tol) * rhs_norm2)
+
     state = (x, r, p, p_s, rz, zeta_prev, zeta_cur, alpha_prev, beta_prev)
-    state = jax.lax.fori_loop(0, max_iter, body, state, unroll=False)
+    _, state = jax.lax.while_loop(cond_k, body_k, (jnp.asarray(0, jnp.int32), state))
     return state[0]
 
 

@@ -248,7 +248,10 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
                 lam, V = lam.astype(T.dtype), V.astype(T.dtype)
             else:
                 lam, V = jnp.linalg.eigh(T)
-            lam = jnp.maximum(lam, 1e-20)
+            # settings.tridiagonal_jitter: floor for the Lanczos-tridiagonal Ritz values
+            # before the log (reference linear_operator knob).  At healthy conditioning the
+            # Ritz values are far above the floor, so this is bit-neutral there.
+            lam = jnp.maximum(lam, jnp.asarray(settings.tridiagonal_jitter.value(), lam.dtype))
             w = V[..., 0, :] ** 2  # e₁ weights
             slq = jnp.sum(w * jnp.log(lam), axis=-1)  # (*batch, t)
             ld = n * jnp.mean(slq, axis=-1)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 
-def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
+def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8, rel_tol: float = 0.0) -> jax.Array:
     """Return L of shape (..., n, rank) with L Lᵀ ≈ linop (best rank-k pivoted approx).
 
     Inner-product precision follows ``settings.preconditioner_highest_precision``
@@ -54,6 +54,11 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
     # Healthy spectra never trip the guard (pivot ≫ floor), leaving bit-identical results.
     eps = float(jnp.finfo(dt).eps)
     stop_tol = jnp.maximum(jnp.asarray(jitter, dt), 10.0 * eps * jnp.max(diag, axis=-1))  # (...,)
+    # rel_tol > 0 (the preconditioner-build path, settings.preconditioner_tolerance):
+    # stop adding columns once the residual trace falls below rel_tol of the original —
+    # matching linear_operator's preconditioner early exit.  The public pivoted_cholesky
+    # keeps rel_tol=0 (full requested rank).
+    orig_trace = jnp.maximum(jnp.sum(diag, axis=-1), 1e-30)  # (...,)
 
     def step(carry, _):
         d, L, m = carry  # d: (..., n) residual diagonal; L: (..., n, rank); m: iter index
@@ -66,6 +71,8 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8) -> jax.Array:
         denom = jnp.sqrt(jnp.maximum(pivot_val, jitter))
         col = (row - correction) / denom[..., None]
         live = (pivot_val > stop_tol)[..., None]  # (..., 1)
+        if rel_tol > 0.0:
+            live = jnp.logical_and(live, (jnp.sum(d, axis=-1) > rel_tol * orig_trace)[..., None])
         col = jnp.where(live, col, jnp.zeros_like(col))
         col = jnp.where(jnp.isfinite(col), col, jnp.zeros_like(col))
         # force exact zero at the pivot-complement to keep d ≥ 0

@@ -56,11 +56,19 @@ def test_sqrt_inv_matmul_accuracy_eager_and_jit():
     truth = (V * (1.0 / jnp.sqrt(lam))) @ V.T @ rhs
     scale = float(jnp.max(jnp.abs(truth)))
 
-    res = sqrt_inv_matmul(DenseLinearOperator(K), rhs)
-    assert float(jnp.max(jnp.abs(res - truth))) / scale < 1e-5
+    # default minres_tolerance (1e-4, reference parity) → ~1e-4-accurate K^{-1/2}
+    res_default = sqrt_inv_matmul(DenseLinearOperator(K), rhs)
+    assert float(jnp.max(jnp.abs(res_default - truth))) / scale < 1e-3
 
-    jres = jax.jit(lambda K, r: sqrt_inv_matmul(DenseLinearOperator(K), r))(K, rhs)
-    assert float(jnp.max(jnp.abs(jres - truth))) / scale < 1e-5
+    # a tight tolerance buys the extra digits (the knob is live)
+    import gpytorch_tpu as gp
+
+    with gp.settings.minres_tolerance(1e-10):
+        res = sqrt_inv_matmul(DenseLinearOperator(K), rhs)
+        assert float(jnp.max(jnp.abs(res - truth))) / scale < 1e-5
+
+        jres = jax.jit(lambda K, r: sqrt_inv_matmul(DenseLinearOperator(K), r))(K, rhs)
+        assert float(jnp.max(jnp.abs(jres - truth))) / scale < 1e-5
 
 
 def test_sqrt_inv_matmul_gradients_finite():

@@ -1,0 +1,120 @@
+"""Behavioral tests for the long-tail solver knobs (every settings class must be LIVE).
+
+Round-1 verdict principle: a defined-but-never-consulted flag is worse than absent.
+Each test here exercises the observable behavior of one knob.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.kernels import RBFKernel
+from gpytorch_tpu.linop import DenseLinearOperator, to_linear_operator
+from gpytorch_tpu.solvers.cg import linear_cg
+
+
+def _spd(n=40, seed=0, jitter=0.5):
+    A = jax.random.normal(jax.random.PRNGKey(seed), (n, n), dtype=jnp.float32)
+    return A @ A.T / n + jitter * jnp.eye(n, dtype=jnp.float32)
+
+
+def test_min_fixed_noise_clamps():
+    from gpytorch_tpu.likelihoods import FixedNoiseGaussianLikelihood
+
+    noise = jnp.asarray([1e-9, 0.1, 1e-12])
+    lik = FixedNoiseGaussianLikelihood(noise=noise)
+    d = lik.noise_covar(shape=(3,)).to_dense()
+    floor = gp.settings.min_fixed_noise.value(d.dtype)
+    assert float(jnp.min(jnp.diagonal(d))) >= floor
+    with gp.settings.min_fixed_noise(d.dtype, 1e-2):
+        d2 = lik.noise_covar(shape=(3,)).to_dense()
+        assert float(jnp.min(jnp.diagonal(d2))) >= 1e-2 - 1e-8
+
+
+def test_terminate_cg_by_size_caps_iterations():
+    K = _spd(30, jitter=1e-3)  # ill-conditioned enough to want > n iterations
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (30, 2), dtype=jnp.float32)
+    res_off = linear_cg(lambda v: K @ v, rhs, tolerance=1e-12, max_iter=1000,
+                        eps=0.0)
+    with gp.settings.terminate_cg_by_size(True):
+        res_on = linear_cg(lambda v: K @ v, rhs, tolerance=1e-12, max_iter=1000, eps=0.0)
+    assert int(res_on.num_iters) <= 31
+    # the uncapped solve may run longer (stall window permitting) — the cap must bind
+    assert int(res_on.num_iters) <= int(res_off.num_iters)
+
+
+def test_tridiagonal_jitter_floors_slq_ritz_values():
+    K = _spd(60, jitter=0.3)
+    lo = to_linear_operator(K).add_jitter(0.0)
+    with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(16), \
+         gp.settings.max_lanczos_quadrature_iterations(15), gp.settings.max_cg_iterations(200), \
+         gp.settings.cg_tolerance(1e-10):
+        _, ld_default = lo.inv_quad_logdet(logdet=True, key=jax.random.PRNGKey(0))
+        # an absurd floor lifts every Ritz value to >= 10 -> logdet estimate >= n*log(10)
+        with gp.settings.tridiagonal_jitter(10.0):
+            _, ld_floored = lo.inv_quad_logdet(logdet=True, key=jax.random.PRNGKey(0))
+    assert float(ld_floored) >= 60 * np.log(10.0) - 1e-3
+    true_ld = float(jnp.linalg.slogdet(K)[1])
+    assert abs(float(ld_default) - true_ld) < 0.15 * abs(true_ld) + 2.0
+
+
+def test_ciq_samples_routes_through_contour():
+    K = _spd(50, seed=3, jitter=1.0)
+    lo = DenseLinearOperator(K)
+    with gp.settings.ciq_samples(True), gp.settings.num_contour_quadrature(15), \
+         gp.settings.max_minres_iterations(200):
+        s = lo.zero_mean_mvn_samples(jax.random.PRNGKey(4), 4000)
+    assert s.shape == (4000, 50)
+    emp = (s.T @ s) / s.shape[0]
+    # empirical covariance of CIQ-drawn samples matches K (MC tolerance)
+    assert float(jnp.max(jnp.abs(emp - K))) < 0.25 * float(jnp.max(jnp.abs(K)))
+
+
+def test_memory_efficient_keeps_kernel_lazy():
+    x = jax.random.uniform(jax.random.PRNGKey(5), (64, 2), dtype=jnp.float32)
+    k = RBFKernel()
+    op = k(x)
+    assert op.evaluate_kernel() is not op  # small: densifies by default
+    with gp.settings.memory_efficient(True):
+        op2 = k(x)
+        assert op2.evaluate_kernel() is op2  # never materializes
+        v = jax.random.normal(jax.random.PRNGKey(6), (64, 3), dtype=jnp.float32)
+        got = op2._matmul(v)
+    want = op.evaluate_kernel()._matmul(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_preconditioner_tolerance_truncates_build():
+    from gpytorch_tpu.solvers.pivoted_cholesky import pivoted_cholesky
+
+    # fast-decaying spectrum: residual trace collapses after a few pivots
+    x = jnp.linspace(0, 1, 80)[:, None]
+    K = jnp.exp(-0.5 * ((x - x.T) / 0.5) ** 2)
+    lo = DenseLinearOperator(K)
+    L_full = pivoted_cholesky(lo, rank=40)  # public API: full requested rank
+    L_trunc = pivoted_cholesky(lo, rank=40, rel_tol=1e-2)
+    cols_full = int(jnp.sum(jnp.any(L_full != 0.0, axis=0)))
+    cols_trunc = int(jnp.sum(jnp.any(L_trunc != 0.0, axis=0)))
+    assert cols_trunc < cols_full
+    # truncated factor still approximates K to the requested tolerance
+    rel = float(jnp.linalg.norm(K - L_trunc @ L_trunc.T) / jnp.linalg.norm(K))
+    assert rel < 0.05
+
+
+def test_minres_tolerance_gates_shifted_cg_exit():
+    from gpytorch_tpu.solvers.contour import shifted_cg
+
+    K = _spd(50, seed=7, jitter=1.0)
+    rhs = jax.random.normal(jax.random.PRNGKey(8), (50, 2), dtype=jnp.float32)
+    shifts = jnp.asarray([0.0, 0.5, 2.0], jnp.float32)
+    with gp.settings.minres_tolerance(1e-6):
+        xs = shifted_cg(lambda v: K @ v, rhs, shifts, max_iter=500)
+    for j, t in enumerate(np.asarray(shifts)):
+        r = rhs - (K + t * jnp.eye(50)) @ xs[j]
+        assert float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs)) < 1e-4
+    # a sloppy tolerance must still produce a usable (if rough) unshifted solve
+    with gp.settings.minres_tolerance(1e-1):
+        xs2 = shifted_cg(lambda v: K @ v, rhs, shifts, max_iter=500)
+    r0 = rhs - K @ xs2[0]
+    assert float(jnp.linalg.norm(r0) / jnp.linalg.norm(rhs)) < 0.2
