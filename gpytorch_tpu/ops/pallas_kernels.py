@@ -463,11 +463,17 @@ def _interpret() -> bool:
 
 
 def _use_pallas() -> bool:
+    import os
+
     from .. import settings
 
     if not settings.use_pallas.on():
         return False
     if _interpret():
+        return True
+    if os.environ.get("GPYTORCH_TPU_FORCE_PALLAS", "0") == "1":
+        # chipless AOT compilation (jax.experimental.topologies): the default backend is
+        # CPU while lowering targets the TPU topology — force the Pallas path
         return True
     try:
         return jax.default_backend() in ("tpu", "axon")
