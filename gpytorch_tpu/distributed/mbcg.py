@@ -23,11 +23,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-try:
-    from jax import shard_map  # jax >= 0.7 moved it to the top level
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharded import shard_map  # VMA-checker-off wrapper (see sharded.py)
 
 from ..ops import pallas_kernels as pk
 from ..solvers.cg import linear_cg, tridiag_from_coeffs

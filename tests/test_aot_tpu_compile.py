@@ -128,3 +128,87 @@ def test_flagship_train_step_compiles_for_v5e():
         pytest.skip("libtpu unavailable")
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
     assert "AOT-ALL-OK" in res.stdout
+
+
+_CHILD_SHARDED = r"""
+import jax, jax.numpy as jnp
+import numpy as np
+from jax.experimental import topologies
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4",
+                                    chips_per_host_bounds=[2, 4, 1])
+mesh = Mesh(np.array(topo.devices), ("data",))
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.distributed import ShardedKernel, make_sharded_mll
+from gpytorch_tpu.distributions import MultivariateNormal
+from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
+from gpytorch_tpu.likelihoods import GaussianLikelihood
+from gpytorch_tpu.means import ConstantMean
+from gpytorch_tpu.models import ExactGP
+
+N_DEV, D = 8, 3
+N = 100_000 // N_DEV * N_DEV
+
+class Model(ExactGP):
+    def __init__(self, tx, ty, lik):
+        super().__init__(tx, ty, lik)
+        self.mean_module = ConstantMean()
+        self.covar_module = ShardedKernel(ScaleKernel(RBFKernel(ard_num_dims=D)), num_devices=N_DEV)
+
+    def forward(self, xx):
+        return MultivariateNormal(self.mean_module(xx), self.covar_module(xx))
+
+model = Model(jnp.zeros((N, D), jnp.float32), jnp.zeros((N,), jnp.float32), GaussianLikelihood())
+params = model.trainable_params()
+
+def step(p, x, y, key):
+    with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(16), \
+         gp.settings.max_cg_iterations(100), gp.settings.cg_stall_window(5), \
+         gp.settings.max_preconditioner_size(50), gp.settings.preconditioner_noise_budget(1e-3), \
+         gp.settings.max_lanczos_quadrature_iterations(5), gp.settings.use_pallas(True), \
+         gp.settings.kernel_matvec_high(True):
+        mll_fn = make_sharded_mll(mesh, model)
+        return jax.value_and_grad(lambda pp: -mll_fn(pp, x, y, key=key))(p)
+
+xsh = NamedSharding(mesh, P("data", None))
+ysh = NamedSharding(mesh, P("data"))
+rep = NamedSharding(mesh, P())
+xs = jax.ShapeDtypeStruct((N, D), jnp.float32, sharding=xsh)
+ys = jax.ShapeDtypeStruct((N,), jnp.float32, sharding=ysh)
+ks = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
+ps = jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a), sharding=rep), params)
+
+c = jax.jit(step).lower(ps, xs, ys, ks).compile()
+ma = c.memory_analysis()
+HBM = 16 * 1024**3
+assert ma.temp_size_in_bytes < 0.25 * HBM
+print(f"SHARDED AOT OK temp={ma.temp_size_in_bytes/1e9:.3f}GB")
+print("AOT-ALL-OK")
+"""
+
+
+@pytest.mark.skipif(not _has_libtpu(), reason="local libtpu not found")
+@pytest.mark.skipif(
+    os.environ.get("GPYTORCH_TPU_AOT_TEST", "0") != "1",
+    reason="minutes of chipless XLA:TPU compilation; opt in with GPYTORCH_TPU_AOT_TEST=1",
+)
+def test_sharded_train_step_compiles_for_v5e_8():
+    """The BASELINE north-star config: row-sharded exact-GP mBCG at N=100k on a REAL
+    v5e-8 topology (2x4 mesh) — collectives, Pallas kernels, BBMM backward compile
+    per-device with bounded HBM, without any TPU attached."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        TPU_ACCELERATOR_TYPE="v5litepod-8",
+        TPU_WORKER_HOSTNAMES="localhost",
+        GPYTORCH_TPU_FORCE_PALLAS="1",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", _CHILD_SHARDED], env=env, capture_output=True, text=True, timeout=1800
+    )
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "AOT-ALL-OK" in res.stdout
