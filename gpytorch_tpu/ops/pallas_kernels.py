@@ -629,9 +629,13 @@ def _periodic_bwd_fused_pallas(xp, w, g, v):
     Np = _round_up(n, _BN)
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
-    nj = -(-Np // _BM)
-    Mp = nj * _BM
-    n_sub = 2
+    # this kernel streams 11 lane-padded block inputs (x, trig tables, g/v both-indexed);
+    # a 2048-column tile's double-buffered blocks alone exceed VMEM (caught by the chipless
+    # AOT compile) — run it at BM=1024 with 4 sub-blocks
+    bm = 1024
+    nj = -(-Np // bm)
+    Mp = nj * bm
+    n_sub = 4
 
     xpp = _pad_to(_pad_to(xp, Np, 0), Dp, 1)
     xj = _pad_to(xpp, Mp, 0)
@@ -651,28 +655,30 @@ def _periodic_bwd_fused_pallas(xp, w, g, v):
     vj = _pad_to(vp, Mp, 0)
 
     def kernel(x1_ref, x2t_ref, w_ref, si_ref, ci_ref, sj_ref, cj_ref,
-               gi_ref, gj_ref, vi_ref, vj_ref, dv_ref, dx_ref, dwp_ref):
+               gi_ref, gj_ref, vi_ref, vj_ref, dv_ref, aux_ref):
         j = pl.program_id(1)
         a = x1_ref[:]
         gi = gi_ref[:]
         vi = vi_ref[:]
         si = si_ref[:]
         ci = ci_ref[:]
-        sub = _BM // n_sub
-        dv_acc = None
-        dx_acc = None
-        dw_acc = None
-        for s_blk in range(n_sub):
-            sl = slice(s_blk * sub, (s_blk + 1) * sub)
-            bt = x2t_ref[:, sl]
+        sub = bm // n_sub
+
+        # fori_loop (NOT an unrolled Python loop): Mosaic stack-allocates each unrolled
+        # sub-iteration's tiles separately — the unrolled form overflows VMEM at N=100k
+        # (caught by the chipless AOT compile check)
+        def body(s_blk, acc):
+            dv_acc, dx_acc, dw_acc = acc
+            off = s_blk * sub
+            bt = x2t_ref[:, pl.ds(off, sub)]
             total = None
             for k in range(d):
                 sn = jnp.sin(jnp.pi * (a[:, k : k + 1] - bt[k : k + 1, :]))
                 term = w_ref[0, k] * (sn * sn)
                 total = term if total is None else total + term
             kv = jnp.exp(-2.0 * total)
-            gj_s = gj_ref[sl, :]
-            vj_s = vj_ref[sl, :]
+            gj_s = gj_ref[pl.ds(off, sub), :]
+            vj_s = vj_ref[pl.ds(off, sub), :]
             if bf16:
                 dv_p = jnp.dot(kv.astype(jnp.bfloat16), gj_s.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             else:
@@ -681,8 +687,8 @@ def _periodic_bwd_fused_pallas(xp, w, g, v):
             vg = jax.lax.dot_general(vi, gj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             KW = kv * gv
             GG = KW + kv * vg
-            sj_s = sj_ref[sl, :]
-            cj_s = cj_ref[sl, :]
+            sj_s = sj_ref[pl.ds(off, sub), :]
+            cj_s = cj_ref[pl.ds(off, sub), :]
             GGc = jnp.dot(GG, cj_s, preferred_element_type=jnp.float32)  # (BN, Dp)
             GGs = jnp.dot(GG, sj_s, preferred_element_type=jnp.float32)
             dx_p = si * GGc - ci * GGs  # × (−2π w_d) applied outside
@@ -690,50 +696,61 @@ def _periodic_bwd_fused_pallas(xp, w, g, v):
             KWc = jnp.dot(KW, cj_s, preferred_element_type=jnp.float32)
             KWs = jnp.dot(KW, sj_s, preferred_element_type=jnp.float32)
             dw_p = ci * KWc + si * KWs - KW1  # (BN, Dp); −KW1 only on real dims (handled outside)
-            dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
-            dx_acc = dx_p if dx_acc is None else dx_acc + dx_p
-            dw_acc = dw_p if dw_acc is None else dw_acc + dw_p
+            return dv_acc + dv_p, dx_acc + dx_p, dw_acc + dw_p
+
+        acc0 = (
+            jnp.zeros((_BN, Tp), jnp.float32),
+            jnp.zeros((_BN, Dp), jnp.float32),
+            jnp.zeros((_BN, Dp), jnp.float32),
+        )
+        dv_acc, dx_acc, dw_acc = jax.lax.fori_loop(0, n_sub, body, acc0)
+
+        # dx and dwp are packed into ONE fully-lane-tiled (BN, 128) output: separate
+        # narrow (BN, Dp) outputs lane-pad 16x and XLA's memory-space assignment then
+        # tries to place one of them in VMEM — a 51 MB vmem stack allocation at N=100k
+        # (caught by the chipless AOT compile check)
+        aux_acc = jnp.concatenate(
+            [_pad_to(dx_acc, 64, 1), _pad_to(dw_acc, 64, 1)], axis=1
+        )
 
         @pl.when(j == 0)
         def _():
             dv_ref[:] = dv_acc.astype(dv_ref.dtype)
-            dx_ref[:] = dx_acc.astype(dx_ref.dtype)
-            dwp_ref[:] = dw_acc.astype(dwp_ref.dtype)
+            aux_ref[:] = aux_acc.astype(aux_ref.dtype)
 
         @pl.when(j != 0)
         def _():
             dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
-            dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
-            dwp_ref[:] = dwp_ref[:] + dw_acc.astype(dwp_ref.dtype)
+            aux_ref[:] = aux_ref[:] + aux_acc.astype(aux_ref.dtype)
 
-    dv, dx_raw, dwp = pl.pallas_call(
+    dv, aux = pl.pallas_call(
         kernel,
         grid=(Np // _BN, nj),
         in_specs=[
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((Dp, _BM), lambda i, j: (0, j)),
+            pl.BlockSpec((Dp, bm), lambda i, j: (0, j)),
             pl.BlockSpec((8, Dp), lambda i, j: (0, 0)),
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
-            pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((bm, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((bm, Dp), lambda i, j: (j, 0)),
             pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+            pl.BlockSpec((bm, Tp), lambda i, j: (j, 0)),
             pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
+            pl.BlockSpec((bm, Tp), lambda i, j: (j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BN, 128), lambda i, j: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Np, Tp), v.dtype),
-            jax.ShapeDtypeStruct((Np, Dp), xp.dtype),
-            jax.ShapeDtypeStruct((Np, Dp), xp.dtype),
+            jax.ShapeDtypeStruct((Np, 128), xp.dtype),
         ],
         interpret=_interpret(),
     )(xpp, xjt, wp_full, s_tab, c_tab, s_j, c_j, gp, gj, vp, vj)
+    dx_raw = aux[:, :64]
+    dwp = aux[:, 64:]
     dx = (-2.0 * jnp.pi) * wf * dx_raw[:n, :d]
     # dwp's −KW1 column term was added on every Dp lane; only real dims count, and
     # sin²=½(1−cc−ss) carries the ½ and the −2 outer factor → net scale −1·(−(1−cc−ss)) …
@@ -766,9 +783,10 @@ def _fpm_bwd(res, g):
     """Streamed backward: row-chunked trig-moment passes (one training-step cost; the CG
     hot loop only ever runs the forward)."""
     x1p, x2p, w, v = res
-    if _use_pallas() and x1p is x2p:
+    if _use_pallas() and x1p is x2p and x1p.shape[-1] <= 64:
         # training case: one fused tile build yields dv, dx1+dx2 and dw (identity-based
-        # reductions — no (c, m, d) difference tensors); cotangent sum delivered in slot 0
+        # reductions — no (c, m, d) difference tensors); cotangent sum delivered in slot 0.
+        # d <= 64: dx/dw pack into the kernel's single 128-lane auxiliary output.
         dv, dx, dw = _periodic_bwd_fused_pallas(x1p, w, g, v)
         return dx, jnp.zeros_like(dx), dw.reshape(jnp.shape(w)).astype(jnp.asarray(w).dtype), dv
     wf = jnp.reshape(w, (-1,))
