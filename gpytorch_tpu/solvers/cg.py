@@ -219,21 +219,24 @@ def linear_solve_cg(linop, rhs: jax.Array, tolerance: Optional[float] = None) ->
 
     Reference behavior: linear_operator's autograd through CG; here the backward is a second
     CG solve plus a VJP through the operator's matmul (the BBMM trick).
+
+    ``tolerance`` is a STATIC (trace-time) value: resolved to the ambient
+    ``settings.cg_tolerance`` here, NOT inside the traced function — a traced tolerance
+    operand would need a Python bool at trace time (jit-incompatible).
     """
-    cfg_tol = tolerance
-    return _linear_solve_cg(linop, rhs, cfg_tol if cfg_tol is not None else -1.0)
+    tol = float(tolerance) if tolerance is not None else float(settings.cg_tolerance.value())
+    return _linear_solve_cg(tol, linop, rhs)
 
 
-def _cg_solve_fwd_impl(linop, rhs, tol):
+def _cg_solve_fwd_impl(tol, linop, rhs):
     precond_fn, _, _ = linop._preconditioner()
-    tolerance = None if tol < 0 else tol
-    result = linear_cg(lambda v: linop._matmul(v), rhs, precond_fn=precond_fn, tolerance=tolerance)
+    result = linear_cg(lambda v: linop._matmul(v), rhs, precond_fn=precond_fn, tolerance=tol)
     x = result.solution
     # iterative refinement (TPU substitute for the reference's f64 promotion): re-solve
     # against the true residual to recover digits lost to the f32 Krylov recursion
     for _ in range(int(settings.solve_iterative_refinements.value())):
         r = rhs - linop._matmul(x)
-        corr = linear_cg(lambda v: linop._matmul(v), r, precond_fn=precond_fn, tolerance=tolerance)
+        corr = linear_cg(lambda v: linop._matmul(v), r, precond_fn=precond_fn, tolerance=tol)
         x = x + corr.solution
     return x
 
@@ -241,28 +244,28 @@ def _cg_solve_fwd_impl(linop, rhs, tol):
 from functools import partial
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
-def _linear_solve_cg(linop, rhs, tol):
-    return _cg_solve_fwd_impl(linop, rhs, tol)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _linear_solve_cg(tol, linop, rhs):
+    return _cg_solve_fwd_impl(tol, linop, rhs)
 
 
-def _linear_solve_cg_fwd(linop, rhs, tol):
-    sol = _cg_solve_fwd_impl(linop, rhs, tol)
-    return sol, (linop, sol, tol)
+def _linear_solve_cg_fwd(tol, linop, rhs):
+    sol = _cg_solve_fwd_impl(tol, linop, rhs)
+    return sol, (linop, sol)
 
 
-def _linear_solve_cg_bwd(res, g):
-    linop, sol, tol = res
+def _linear_solve_cg_bwd(tol, res, g):
+    linop, sol = res
     # g: cotangent of solution x = A⁻¹ rhs
     # drhs-bar = A⁻¹ g ; dA-bar = −(A⁻¹ g) solᵀ  (delivered through vjp of linop.matmul)
-    u = _cg_solve_fwd_impl(jax.tree_util.tree_map(jax.lax.stop_gradient, linop), g, tol)
+    u = _cg_solve_fwd_impl(tol, jax.tree_util.tree_map(jax.lax.stop_gradient, linop), g)
 
     def quad(lo):
         return -jnp.sum(u * lo._matmul(jax.lax.stop_gradient(sol)))
 
     _, vjp = jax.vjp(quad, linop)
     (linop_bar,) = vjp(jnp.ones((), dtype=sol.dtype))
-    return linop_bar, u, jnp.zeros_like(jnp.asarray(tol))
+    return linop_bar, u
 
 
 _linear_solve_cg.defvjp(_linear_solve_cg_fwd, _linear_solve_cg_bwd)

@@ -202,3 +202,46 @@ def test_ski_interp_matches_dense_kernel():
     with gp.settings.lazily_evaluate_kernels(False):
         K_exact = np.asarray(base(x, x).to_dense())
     assert np.max(np.abs(K_ski - K_exact)) < 1e-3
+
+
+def test_posterior_fully_jittable_with_traced_train_data():
+    """The WHOLE eval path (mean-cache CG solve + LOVE root + test block) must trace
+    under jit with train data as traced arguments — the production-serving pattern
+    (compile once, evaluate many test batches at cached speed).  Regression: the
+    differentiable-solve tolerance used to be a traced operand compared with `<`
+    at trace time (TracerBoolConversionError)."""
+    import gpytorch_tpu as gp
+    from gpytorch_tpu.distributions import MultivariateNormal
+    from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
+    from gpytorch_tpu.likelihoods import GaussianLikelihood
+    from gpytorch_tpu.means import ConstantMean
+    from gpytorch_tpu.models import ExactGP
+
+    class M(ExactGP):
+        def __init__(s, a, b, lik):
+            super().__init__(a, b, lik)
+            s.mean_module = ConstantMean()
+            s.covar_module = ScaleKernel(RBFKernel())
+
+        def forward(s, xx):
+            return MultivariateNormal(s.mean_module(xx), s.covar_module(xx))
+
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.uniform(kx, (400, 1), dtype=jnp.float32)
+    y = jnp.sin(6 * x[:, 0]) + 0.05 * jax.random.normal(ky, (400,), dtype=jnp.float32)
+    tx = jnp.linspace(0.0, 1.0, 64)[:, None].astype(jnp.float32)
+
+    @jax.jit
+    def posterior(x_, y_, tx_):
+        m = M(x_, y_, GaussianLikelihood()).eval()
+        with gp.settings.max_cholesky_size(0), gp.settings.eval_cg_tolerance(1e-6), \
+             gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(64):
+            pred = m(tx_)
+            return pred.mean, pred.variance
+
+    mean, var = posterior(x, y, tx)
+    # vs the dense-Cholesky eager path
+    m2 = M(x, y, GaussianLikelihood()).eval()
+    pred2 = m2(tx)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(pred2.mean), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(pred2.variance), rtol=5e-2, atol=1e-4)
