@@ -160,6 +160,18 @@ def _dot_high(kv, vv, t_real: Optional[int] = None):
     return out
 
 
+
+def _grid_params():
+    """Mosaic pipelining hint: row blocks are independent ("parallel"); the column dim
+    revisits/accumulates the same output block sequentially ("arbitrary")."""
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        return {"compiler_params": pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))}
+    except Exception:  # interpret mode / older pallas: hint unavailable
+        return {}
+
+
 def _matvec_pallas(x1, x2, v, kernel_type: int):
     from jax.experimental import pallas as pl
 
@@ -241,6 +253,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
         out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
         interpret=_interpret(),
+        **(_grid_params() if not _interpret() else {}),
     )(x1p, x2arg, vp)
     return out[:n, :t]
 
@@ -311,6 +324,7 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
         out_specs=pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Dp), x1.dtype),
         interpret=_interpret(),
+        **(_grid_params() if not _interpret() else {}),
     )(x1p, x2p, x2tp, gp, vp)
     return out[:n, :d]
 
@@ -441,6 +455,7 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
             jax.ShapeDtypeStruct((Np, Dp), x.dtype),
         ],
         interpret=_interpret(),
+        **(_grid_params() if not _interpret() else {}),
     )(xp, xp2, xp2t, gp, gp2, vp, vp2)
     return dv[:n, :t], dx[:n, :d]
 
@@ -594,6 +609,7 @@ def _periodic_matvec_pallas(x1p, x2p, w, v):
         out_specs=pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, Tp), v.dtype),
         interpret=_interpret(),
+        **(_grid_params() if not _interpret() else {}),
     )(x1pp, x2pt, wp_full, vp)
     return out[:n, :t]
 
@@ -748,6 +764,7 @@ def _periodic_bwd_fused_pallas(xp, w, g, v):
             jax.ShapeDtypeStruct((Np, 128), xp.dtype),
         ],
         interpret=_interpret(),
+        **(_grid_params() if not _interpret() else {}),
     )(xpp, xjt, wp_full, s_tab, c_tab, s_j, c_j, gp, gj, vp, vj)
     dx_raw = aux[:, :64]
     dwp = aux[:, 64:]
