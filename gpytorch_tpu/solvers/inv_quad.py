@@ -112,8 +112,13 @@ def inv_quad_logdet_mbcg(
     ``((iq, ld), new_state)`` back.  Successive Adam steps move the hypers slowly, so
     CG started from the previous solves converges in a fraction of the iterations.
     Requires ``settings.skip_logdet_forward`` (Lanczos tridiagonals need a zero initial
-    guess) and only makes sense with ``settings.deterministic_probes`` (the probe columns
-    must mean the same thing step to step).  The state carries no gradient."""
+    guess), and the probe columns must mean the same thing step to step.  Recommended
+    key discipline (measured at N=4k: equal quality to cold solves at ~1.6x speed):
+    WINDOWED keys — the same explicit ``key`` for K consecutive steps, fresh each
+    window, ZEROING the state at each window boundary.  Globally frozen probes
+    (``settings.deterministic_probes``) also work but make the logdet-gradient sampling
+    bias systematic — measurably stalling noise convergence over a long Adam run.
+    The state carries no gradient."""
     has_rhs = inv_quad_rhs is not None
     sc = config if config is not None else settings.snapshot()
     cfg = _IQConfig(
