@@ -1,3 +1,4 @@
 from .ngd import NGD, ngd
+from .warm_start import WarmStartSchedule
 
-__all__ = ["NGD", "ngd"]
+__all__ = ["NGD", "WarmStartSchedule", "ngd"]

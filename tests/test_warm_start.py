@@ -175,3 +175,63 @@ def test_sharded_warm_start_parity():
         v2, st2 = mll_fn(params, x, y, key=jax.random.PRNGKey(1), solver_state=st1, return_state=True)
     np.testing.assert_allclose(float(v1), cold, rtol=1e-4)
     np.testing.assert_allclose(float(v2), cold, rtol=1e-3)
+
+
+def test_warm_start_schedule_discipline():
+    """WarmStartSchedule: constant key within a window, fresh across, reset at boundaries."""
+    from gpytorch_tpu.optim import WarmStartSchedule
+
+    sched = WarmStartSchedule(window=5, seed=11)
+    st = sched.init(32, num_probes=4)
+    assert st.shape == (32, 5)
+    st_mid = st + 1.0
+    k0, s0 = sched(0, st_mid)
+    assert float(jnp.sum(jnp.abs(s0))) == 0.0          # boundary: reset
+    k1, s1 = sched(1, st_mid)
+    assert float(jnp.sum(jnp.abs(s1 - st_mid))) == 0.0  # mid-window: passthrough
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))  # same window key
+    k5, s5 = sched(5, st_mid)
+    assert float(jnp.sum(jnp.abs(s5))) == 0.0          # next boundary: reset
+    assert not np.array_equal(np.asarray(k0), np.asarray(k5))      # fresh window key
+
+
+def test_warm_schedule_end_to_end_matches_cold():
+    """Training driven by WarmStartSchedule lands where the cold-solve run lands."""
+    import optax
+
+    from gpytorch_tpu.optim import WarmStartSchedule
+
+    m, x, y = _model(n=240)
+    params0 = m.trainable_params()
+    opt = optax.adam(0.1)
+
+    def make_step(warm: bool):
+        @jax.jit
+        def step(p, s, k, st):
+            def loss(p):
+                mm = m.with_params(p)
+                with _ctx():
+                    mll = ExactMarginalLogLikelihood(mm.likelihood, mm)
+                    val, new_st = mll(mm(x), y, key=k, solver_state=st if warm else None,
+                                      return_state=True)
+                return -val, new_st
+            (l, new_st), g = jax.value_and_grad(loss, has_aux=True)(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, new_st, l
+        return step
+
+    sched = WarmStartSchedule(window=5, seed=3)
+
+    def run(warm):
+        p, s = params0, opt.init(params0)
+        st = sched.init(x.shape[0], num_probes=8)
+        step = make_step(warm)
+        for i in range(20):
+            k, st = sched(i, st)
+            p, s, st, l = step(p, s, k, st)
+        return p
+
+    p_cold = run(False)
+    p_warm = run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_cold), jax.tree_util.tree_leaves(p_warm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3)
