@@ -84,11 +84,13 @@ def main():
         u, s = opt.update(g, s)
         return optax.apply_updates(p, u), s, new_st, l
 
-    WINDOW = 10
+    # WarmStartSchedule packages the key/state discipline: same key within a window
+    # (valid warm starts), fresh key + state reset each window boundary (unbiased)
+    from gpytorch_tpu.optim import WarmStartSchedule
+
+    schedule = WarmStartSchedule(window=10, seed=100)
     for i in range(60):
-        key = jax.random.PRNGKey(100 + i // WINDOW)   # windowed probe keys
-        if i % WINDOW == 0:
-            solver_state = jnp.zeros_like(solver_state)  # fresh probes need zero init
+        key, solver_state = schedule(i, solver_state)
         params, opt_state, solver_state, l = step(params, opt_state, solver_state, key)
         if i % 10 == 0:
             print(f"step {i:3d}  -mll/n = {float(l):.4f}")
