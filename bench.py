@@ -118,6 +118,11 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     elif _tp == "high":
         st.enter_context(gp.settings.kernel_matvec_bf16(False))
         st.enter_context(gp.settings.kernel_matvec_high(True))
+    elif _tp == "cbf16":
+        # consistent-bf16: K̃ = bf16(K) fixed operator, exact V — one MXU pass (~bf16
+        # speed) with high-mode CG convergence; quality must be chip-validated
+        st.enter_context(gp.settings.kernel_matvec_bf16(False))
+        st.enter_context(gp.settings.kernel_matvec_consistent_bf16(True))
     return st
 
 

@@ -103,7 +103,7 @@ class AddedDiagLinearOperator(LinearOperator):
         _hp = (
             jax.lax.Precision.HIGHEST
             if settings.preconditioner_highest_precision.on() or settings.kernel_matvec_highest.on()
-            or settings.kernel_matvec_high.on()
+            or settings.kernel_matvec_high.on() or settings.kernel_matvec_consistent_bf16.on()
             else None
         )
         dsqrt_inv = jnp.sqrt(dinv)  # (..., n)

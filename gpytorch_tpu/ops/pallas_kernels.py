@@ -125,7 +125,11 @@ _MAX_T = 256
 def _max_t():
     from .. import settings
 
-    if settings.kernel_matvec_highest.on() or settings.kernel_matvec_high.on():
+    if (
+        settings.kernel_matvec_highest.on()
+        or settings.kernel_matvec_high.on()
+        or settings.kernel_matvec_consistent_bf16.on()
+    ):
         return 128
     return _MAX_T
 
@@ -161,6 +165,29 @@ def _dot_high(kv, vv, t_real: Optional[int] = None):
 
 
 
+def _dot_consistent(kv, vv, t_real: Optional[int] = None):
+    """One-MXU-pass product with a CONSISTENT bf16 operator: K̃ = bf16(K), V applied exactly.
+
+    The one-pass default rounds *V* per call — an iteration-varying input perturbation that
+    breaks CG's fixed-operator assumption (residual floors at ~5e-3).  Rounding *K* instead
+    is benign: the tile is identical every iteration, so K̃ is a fixed SPD operator CG
+    solves to f32 precision; the ~2e-3 storage rounding becomes a smooth perturbation of
+    the objective, not a solver bias.  V is split bf16 hi/lo (dropped residual ~2⁻¹⁷);
+    for ``t_real`` ≤ 64 the ``[v_hi | v_lo]`` halves lane-pack into ONE 128-lane MXU pass
+    (vs 2 for kernel_matvec_high, 6 for HIGHEST)."""
+    k_hi = kv.astype(jnp.bfloat16)
+    v_hi = vv.astype(jnp.bfloat16)
+    v_lo = (vv - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if t_real is not None and t_real <= 64 and vv.shape[-1] >= 128:
+        pack = jnp.concatenate([v_hi[:, :64], v_lo[:, :64]], axis=1)  # (m, 128)
+        o1 = jnp.dot(k_hi, pack, preferred_element_type=jnp.float32)
+        part = o1[:, :64] + o1[:, 64:]
+        pad = vv.shape[-1] - 64
+        return jnp.concatenate([part, jnp.zeros(part.shape[:-1] + (pad,), jnp.float32)], axis=1)
+    out = jnp.dot(k_hi, v_hi, preferred_element_type=jnp.float32)
+    return out + jnp.dot(k_hi, v_lo, preferred_element_type=jnp.float32)
+
+
 def _grid_params():
     """Mosaic pipelining hint: row blocks are independent ("parallel"); the column dim
     revisits/accumulates the same output block sequentially ("arbitrary")."""
@@ -188,6 +215,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
     bf16 = bool(settings.kernel_matvec_bf16.on())
     highest = bool(settings.kernel_matvec_highest.on()) and not bf16
     high = bool(settings.kernel_matvec_high.on()) and not bf16 and not highest
+    cbf16 = bool(settings.kernel_matvec_consistent_bf16.on()) and not (bf16 or highest or high)
     # the hi/lo split materializes two extra bf16 copies of the K tile; rather than halving
     # the grid column tile (which doubles the per-grid-step fixed overhead, measured +12 ms
     # per matvec at N=100k), keep the (BN, BM) block and loop over two column sub-blocks
@@ -226,6 +254,8 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
             # training prefers the 3-pass hi/lo emulation (settings.kernel_matvec_high).
             if high:
                 part = _dot_high(kv, vv, t_real=t).astype(o_ref.dtype)
+            elif cbf16:
+                part = _dot_consistent(kv, vv, t_real=t).astype(o_ref.dtype)
             else:
                 prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
                 part = jnp.dot(kv, vv, preferred_element_type=jnp.float32, precision=prec).astype(o_ref.dtype)

@@ -52,6 +52,7 @@ class _IQConfig:
     mv_bf16: bool = False
     mv_highest: bool = False
     mv_high: bool = False
+    mv_cbf16: bool = False
     # warm-started solves: CG starts from the caller-supplied previous solution
     warm: bool = False
 
@@ -139,6 +140,7 @@ def inv_quad_logdet_mbcg(
         mv_bf16=bool(getattr(sc, "kernel_matvec_bf16", False)),
         mv_highest=bool(getattr(sc, "kernel_matvec_highest", False)),
         mv_high=bool(getattr(sc, "kernel_matvec_high", False)),
+        mv_cbf16=bool(getattr(sc, "kernel_matvec_consistent_bf16", False)),
     )
     n = linop.shape[-1]
     if has_rhs:
@@ -336,7 +338,8 @@ def _mbcg_bwd(cfg, residuals, g):
             settings.preconditioner_noise_budget(cfg.pc_noise_budget), \
             settings.preconditioner_highest_precision(cfg.pc_highest), \
             settings.use_pallas(cfg.use_pallas), settings.kernel_matvec_bf16(cfg.mv_bf16), \
-            settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high):
+            settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high), \
+            settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16):
         _, vjp = jax.vjp(scalar_fn, linop)
     (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
 

@@ -212,6 +212,43 @@ def test_forward_high_mode_accuracy_and_chunking():
     assert err < err_1pass / 10.0, (err, err_1pass)
 
 
+def test_forward_consistent_bf16_mode():
+    # kernel_matvec_consistent_bf16: K̃ = bf16(K) fixed operator, V applied exactly via a
+    # hi/lo split.  t=5 exercises the one-pass [v_hi|v_lo] lane packing; t=70 the 2-dot
+    # fallback; t=130 column chunking.
+    for t in (5, 70, 130):
+        x1, x2, v = _data(n=700, m=900, d=3, t=t, seed=4)
+        with gp.settings.kernel_matvec_consistent_bf16(True):
+            got = pk._matvec_pallas(x1, x2, v, pk.RBF)
+        want = pk._matvec_reference(x1, x2, v, pk.RBF)
+        err = np.max(np.abs(np.asarray(got) - np.asarray(want))) / np.max(np.abs(np.asarray(want)))
+        # absolute error is bf16-K storage rounding (~2e-3) — same scale as one-pass bf16
+        assert err < 5e-3, (t, err)
+
+
+def test_consistent_bf16_is_a_fixed_linear_operator():
+    # THE property that makes cbf16 CG-safe and one-pass bf16 not: the applied map is a
+    # FIXED linear operator (K rounding is per-tile-constant; only the ~2^-17 V-split
+    # residual breaks linearity).  One-pass bf16 rounds V per call — linearity breaks at
+    # the ~2^-9 V-rounding scale, which is the CG stall floor.
+    x1, x2, _ = _data(n=500, m=600, d=3, t=1, seed=5)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    v1 = jax.random.normal(k1, (600, 5), jnp.float32)
+    v2 = 0.731 * jax.random.normal(k2, (600, 5), jnp.float32)
+
+    def lin_defect(mode_ctx):
+        with mode_ctx:
+            a = pk._matvec_pallas(x1, x2, v1 + v2, pk.RBF)
+            b = pk._matvec_pallas(x1, x2, v1, pk.RBF) + pk._matvec_pallas(x1, x2, v2, pk.RBF)
+        scale = np.max(np.abs(np.asarray(b)))
+        return np.max(np.abs(np.asarray(a) - np.asarray(b))) / scale
+
+    d_cons = lin_defect(gp.settings.kernel_matvec_consistent_bf16(True))
+    d_1pass = lin_defect(gp.settings.kernel_matvec_bf16(True))
+    assert d_cons < 3e-4, d_cons
+    assert d_cons < d_1pass / 3.0, (d_cons, d_1pass)
+
+
 # ---------------------------------------------------------------------------------------
 # fused symmetric backward (x1 ≡ x2) + lane-packed high-precision dot
 # ---------------------------------------------------------------------------------------
