@@ -233,9 +233,16 @@ def _cg_solve_fwd_impl(tol, linop, rhs):
     result = linear_cg(lambda v: linop._matmul(v), rhs, precond_fn=precond_fn, tolerance=tol)
     x = result.solution
     # iterative refinement (TPU substitute for the reference's f64 promotion): re-solve
-    # against the true residual to recover digits lost to the f32 Krylov recursion
+    # against the true residual to recover digits lost to the f32 Krylov recursion.
+    # The residual matvec runs at HIGHEST regardless of the ambient matvec mode — under
+    # kernel_matvec_consistent_bf16 the main CG converges on the PERTURBED operator
+    # K̃ = bf16(K) (~2e-3 off K); only an accurate residual steers the refinement back
+    # to the true-K solution (classic mixed-precision IR: cheap inner solve, exact outer
+    # residual).  The correction solve stays in the cheap ambient mode.
     for _ in range(int(settings.solve_iterative_refinements.value())):
-        r = rhs - linop._matmul(x)
+        with settings.kernel_matvec_bf16(False), settings.kernel_matvec_high(False), \
+                settings.kernel_matvec_consistent_bf16(False), settings.kernel_matvec_highest(True):
+            r = rhs - linop._matmul(x)
         corr = linear_cg(lambda v: linop._matmul(v), r, precond_fn=precond_fn, tolerance=tol)
         x = x + corr.solution
     return x
