@@ -219,8 +219,11 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
     # the hi/lo split materializes two extra bf16 copies of the K tile; rather than halving
     # the grid column tile (which doubles the per-grid-step fixed overhead, measured +12 ms
     # per matvec at N=100k), keep the (BN, BM) block and loop over two column sub-blocks
-    # inside the kernel body so only one (BN, BM/2) K tile (+ its bf16 splits) is live
-    n_sub = 2 if high else 1
+    # inside the kernel body so only one (BN, BM/2) K tile (+ its bf16 splits) is live.
+    # cbf16 materializes one bf16 K copy (k_hi) on top of d2/kv — at the full (BN, BM)
+    # tile that is 8+8+4 MB against the 16 MB VMEM budget unless Mosaic aliases d2→kv,
+    # so it also sub-blocks (the inner loop adds no grid overhead, measured ~free for high)
+    n_sub = 2 if (high or cbf16) else 1
     bm = _BM
     Np, Mp = _round_up(n, _BN), _round_up(m, bm)
     Dp = max(_round_up(d, 8), 8)
@@ -388,11 +391,13 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
     bf16 = bool(settings.kernel_matvec_bf16.on())
     highest = bool(settings.kernel_matvec_highest.on()) and not bf16
     high = bool(settings.kernel_matvec_high.on()) and not bf16 and not highest
+    cbf16 = bool(settings.kernel_matvec_consistent_bf16.on()) and not (bf16 or highest or high)
     Np = _round_up(n, _BN)
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
     direct = d <= _DIRECT_D_MAX
-    # column sub-blocks bound live VMEM: d2/kv/kp/W tiles are (BN, BM/n_sub)
+    # column sub-blocks bound live VMEM: d2/kv/kp/W tiles are (BN, BM/n_sub); cbf16
+    # materializes one extra bf16 K-tile copy (k_hi), so it shares high's tighter split
     n_sub = 4 if (high or highest) else 2
     xp = _pad_to(_pad_to(x, Np, 0), Dp, 1)
     xpt = jnp.swapaxes(xp, 0, 1)  # (Dp, Np)
@@ -437,6 +442,12 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
                 dv_p = jnp.dot(kv.astype(jnp.bfloat16), gj_s.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             elif high:
                 dv_p = _dot_high(kv, gj_s, t_real=t)
+            elif cbf16:
+                # consistent-bf16: the SAME fixed bf16(K) operator as the forward matvec —
+                # without this branch the dv dot would fall to Precision.DEFAULT (one-pass
+                # rounding of both K and the iteration-fresh cotangent), reintroducing the
+                # per-call rounding the mode exists to eliminate
+                dv_p = _dot_consistent(kv, gj_s, t_real=t)
             else:
                 prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
                 dv_p = jnp.dot(kv.astype(jnp.float32), gj_s, preferred_element_type=jnp.float32, precision=prec)

@@ -341,7 +341,10 @@ def _mbcg_bwd(cfg, residuals, g):
             settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high), \
             settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16):
         _, vjp = jax.vjp(scalar_fn, linop)
-    (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
+        # the cotangent application must ALSO run inside the with-block: nested custom-vjp
+        # backwards (e.g. _fkm_bwd → _bwd_fused_pallas, which reads use_pallas and the
+        # kernel_matvec_* flags) are traced when vjp() is called, not at jax.vjp()
+        (linop_bar,) = vjp(jnp.ones((), dtype=rhs.dtype))
 
     if cfg.has_rhs:
         if cfg.reduce_inv_quad:

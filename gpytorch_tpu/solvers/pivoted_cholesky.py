@@ -38,7 +38,7 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8, rel_tol: float = 0.
     _prec = (
         jax.lax.Precision.HIGHEST
         if settings.preconditioner_highest_precision.on() or settings.kernel_matvec_highest.on()
-        or settings.kernel_matvec_high.on()
+        or settings.kernel_matvec_high.on() or settings.kernel_matvec_consistent_bf16.on()
         else None
     )
     diag = linop._diagonal()  # (..., n)

@@ -419,3 +419,30 @@ def test_bwd_fused_bf16_mode():
         got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
     np.testing.assert_allclose(got_dx, want_dx, rtol=2e-2, atol=2e-2, err_msg="dx")
     np.testing.assert_allclose(got_dv, want_dv, rtol=2e-2, atol=2e-2, err_msg="dv")
+
+
+def test_bwd_fused_cbf16_matches_the_forward_fixed_operator():
+    """cbf16 fused backward: dv must apply the SAME fixed K-tilde = bf16(K) operator as the
+    forward matvec (K symmetric, x1 == x2, so dv = K-tilde @ g) — only the ~2^-17 V-split
+    residual may differ.  Regression for the advisor finding where the dv dot fell to
+    Precision.DEFAULT under cbf16 (one-pass rounding of the iteration-fresh cotangent,
+    ~2e-3 inconsistency with the forward operator)."""
+    x, _, _ = _data(n=260, m=260, d=3, t=4, seed=71)
+    v = jax.random.normal(jax.random.PRNGKey(72), (260, 4), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(73), (260, 4), dtype=jnp.float32)
+
+    with gp.settings.kernel_matvec_consistent_bf16(True):
+        want_dv = pk._matvec_pallas(x, x, g, pk.RBF)  # K-tilde @ g, the forward's operator
+        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+
+    scale = np.max(np.abs(np.asarray(want_dv)))
+    err = np.max(np.abs(np.asarray(got_dv) - np.asarray(want_dv))) / scale
+    assert err < 1e-4, err  # V-split residual only; Precision.DEFAULT would sit at ~2e-3
+
+    # dx stays correct vs the dense gradient (storage-rounding tolerance)
+    def dense_loss(x_, v_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), pk.RBF)
+        return jnp.sum(g * (K @ v_))
+
+    want_dx = jax.grad(dense_loss)(x, v)
+    np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
