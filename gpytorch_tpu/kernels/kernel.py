@@ -140,10 +140,12 @@ class Kernel(Module):
             x1 = jnp.take(x1, ad, axis=-1)
             x2_ = jnp.take(x2_, ad, axis=-1)
         if diag:
+            settings._count_call("kernel_forward")
             res = self.forward(x1, x2_, diag=True, last_dim_is_batch=last_dim_is_batch, **params)
             return res.to_dense() if isinstance(res, LinearOperator) else res
         if settings.lazily_evaluate_kernels.on() and not settings.trace_mode.on():
             return LazyEvaluatedKernelOperator(self, x1, x2_, last_dim_is_batch=last_dim_is_batch)
+        settings._count_call("kernel_forward")
         res = self.forward(x1, x2_, last_dim_is_batch=last_dim_is_batch, **params)
         return to_linear_operator(res)
 

@@ -62,6 +62,7 @@ class LazyEvaluatedKernelOperator(LinearOperator):
             big = True
         if big and not getattr(self.kernel, "returns_lazy_structure", False):
             return self
+        settings._count_call("kernel_forward")
         with settings.lazily_evaluate_kernels(False):
             res = self.kernel.forward(self.x1, self.x2, last_dim_is_batch=self.last_dim_is_batch)
         return to_linear_operator(res)

@@ -12,6 +12,15 @@ Packages the measured-correct key/state discipline for warm-started solves
 
 Measured at N=4k / 120 Adam steps: identical quality to cold solves (RMSE/NLL/noise all
 match) at ~1.6x end-to-end speed.
+
+.. warning::
+    At the flagship scale (N=100k, bench.py) the same recipe currently REGRESSES NLL
+    (0.92 vs −0.48 cold, on-chip 2026-08-18): within a window the frozen probes make the
+    SLQ logdet-gradient sampling error systematic, and at 100k that bias is large enough
+    to pin the noise hyperparameter at its floor before the window rolls.  RMSE is
+    unaffected.  Until the bias is fixed (fresh-probe/warm-rhs split or a cross-window
+    control variate), treat warm starts as validated only at N ≲ 10k, or re-measure
+    quality at your N before adopting (BENCH_WARM=1 in bench.py does exactly that).
 """
 
 from __future__ import annotations

@@ -465,6 +465,48 @@ class use_pallas(_feature_flag):
     _default = True
 
 
+# -- linalg call counting (cache-contract testing) ---------------------------------------
+# The reference asserts CACHING as a contract: its VariationalTestCase counts cholesky/CG
+# invocations via mock contexts (gpytorch/test/variational_test_case.py:268-299) and its
+# memoize framework is itself tested (gpytorch/utils/memoize.py:12-145).  JAX analogue:
+# the framework's primitives bump a counter when a ``count_linalg_calls`` context is
+# active.  Counts are TRACE-time: a jitted function counts once per trace, eager calls
+# count per call — exactly the granularity at which the framework's eager caches
+# (prediction strategies, variational Cholesky factors) either rebuild work or don't.
+_CALL_COUNTS = None
+
+
+def _count_call(name: str) -> None:
+    if _CALL_COUNTS is not None:
+        _CALL_COUNTS[name] = _CALL_COUNTS.get(name, 0) + 1
+
+
+class count_linalg_calls:
+    """Context manager: ``with settings.count_linalg_calls() as counts: ...``.
+
+    ``counts`` is a live dict of primitive-name -> invocation count.  Counted primitives:
+    ``psd_safe_cholesky``, ``linear_cg``, ``lanczos_tridiag``, ``lanczos_root``,
+    ``pivoted_cholesky``,
+    ``kernel_forward`` (an actual kernel-matrix evaluation, not a lazy wrapper build).
+    Nesting restores the outer counter on exit (inner counts are NOT folded into it).
+    """
+
+    def __init__(self):
+        self._prev = None
+        self.counts = {}
+
+    def __enter__(self):
+        global _CALL_COUNTS
+        self._prev = _CALL_COUNTS
+        _CALL_COUNTS = self.counts
+        return self.counts
+
+    def __exit__(self, *exc):
+        global _CALL_COUNTS
+        _CALL_COUNTS = self._prev
+        return False
+
+
 class pallas_interpret(_feature_flag):
     """Run the Pallas kernel bodies in interpreter mode on any backend (CPU included).
 

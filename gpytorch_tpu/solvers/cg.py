@@ -60,6 +60,8 @@ def linear_cg(
     initial guess (the Krylov space must start at the rhs).
     """
 
+    settings._count_call("linear_cg")
+
     def _reduce_sum(x, axis):
         s = jnp.sum(x, axis=axis)
         if axis_name is not None:

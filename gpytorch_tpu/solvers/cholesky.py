@@ -34,6 +34,7 @@ def psd_safe_cholesky(A: jax.Array, jitter: Optional[float] = None, max_tries: O
         jitter = settings.cholesky_jitter.value(A.dtype)
     if max_tries is None:
         max_tries = settings.cholesky_max_tries.value()
+    settings._count_call("psd_safe_cholesky")
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     if settings.verbose_linalg.on():

@@ -25,6 +25,9 @@ def lanczos_tridiag(
     Returns (Q, T): Q (..., n, k) orthonormal, T (..., k, k) tridiagonal with
     Qᵀ A Q ≈ T.  Full re-orthogonalization against all previous vectors each step.
     """
+    from .. import settings
+
+    settings._count_call("lanczos_tridiag")
     nrm = jnp.linalg.norm(init_vec, axis=-1, keepdims=True)
     q0 = init_vec / jnp.maximum(nrm, eps)
     batch = q0.shape[:-1]
@@ -151,6 +154,9 @@ def _block_plan(max_rank: int, n: int) -> Tuple[int, int]:
 
 
 def _ritz_root(linop, max_rank: int, initial_vectors, eig_floor: float, inverse: bool) -> jax.Array:
+    from .. import settings
+
+    settings._count_call("lanczos_root")
     n = linop.shape[-1]
     b, m = _block_plan(max_rank, n)
     init = _block_init(linop, initial_vectors, b)

@@ -30,6 +30,7 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8, rel_tol: float = 0.
     shifted N=100k bench training trajectories (bisected: RMSE 0.18 → 0.43)."""
     from .. import settings
 
+    settings._count_call("pivoted_cholesky")
     # HIGHEST when explicitly requested OR when the solve path itself runs tight-tolerance
     # (kernel_matvec_highest): a one-pass-bf16 preconditioner apply injects ~4e-3-level
     # noise that acts as a CHANGING preconditioner, stagnating CG far above the eval
