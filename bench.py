@@ -82,7 +82,11 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(
         gp.settings.preconditioner_noise_budget(float(os.environ.get("BENCH_BUDGET", "1e-3")))
     )
-    _warm = os.environ.get("BENCH_WARM", "0") == "1"
+    # BENCH_WARM: "1" = full-width windowed warm state (skip_logdet + windowed keys);
+    # "rhs" = rhs-only warm state (fresh probes each step, forward logdet kept, probe
+    # solves truncated at the warm-rhs iteration count; pair with BENCH_VR=1)
+    _warm_mode = os.environ.get("BENCH_WARM", "0")
+    _warm = _warm_mode == "1"
     st.enter_context(
         gp.settings.skip_logdet_forward(
             _warm or os.environ.get("BENCH_SKIP_LOGDET", "0") == "1"
@@ -177,7 +181,9 @@ def main():
     model.covar_module.base_kernel.lengthscale = 0.5
     params = model.trainable_params()
 
-    _warm = _osf.environ.get("BENCH_WARM", "0") == "1"
+    _warm_mode = _osf.environ.get("BENCH_WARM", "0")
+    _warm = _warm_mode == "1"
+    _warm_rhs = _warm_mode == "rhs"
 
     def make_step(use_pallas: bool, tx, ty):
         opt = optax.adam(0.1)
@@ -188,9 +194,11 @@ def main():
             m.train_targets = ty
             with _solver_ctx(gp, use_pallas=use_pallas):
                 mll = ExactMarginalLogLikelihood(m.likelihood, m)
-                if _warm:
-                    # warm-started mBCG: solves carry across Adam steps (deterministic
-                    # probes + skip_logdet_forward; see solvers/inv_quad.py)
+                if _warm or _warm_rhs:
+                    # warm-started mBCG: solves carry across Adam steps.  Full-width
+                    # (_warm): windowed frozen probes + skip_logdet_forward.  rhs-only
+                    # (_warm_rhs): fresh probes each step, forward logdet kept, probe
+                    # solves truncated at the warm-rhs iteration count (solvers/inv_quad.py)
                     val, new_st = mll(m(tx), ty, key=k, solver_state=st, return_state=True)
                     return -val, new_st
                 return -mll(m(tx), ty, key=k), st
@@ -220,7 +228,10 @@ def main():
     p, s = params, state
     _probes = int(_osv.environ.get("BENCH_PROBES", "31"))
     _warm_window = int(_osv.environ.get("BENCH_WARM_WINDOW", "10"))
-    solver_st = jnp.zeros((N, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
+    if _warm_rhs:
+        solver_st = jnp.zeros((N, 1), dtype=jnp.float32)  # rhs column only
+    else:
+        solver_st = jnp.zeros((N, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
     _step_idx = 0
 
     def _next_key():
@@ -368,7 +379,7 @@ def main():
     # budget a loose upper bound) ------------------------------------------------------------
     from gpytorch_tpu.solvers.cg import linear_cg
 
-    def _count_iters(p, x0=None):
+    def _count_iters(p, x0=None, conv_cols=None):
         m = model.with_params(p)
         m.train_inputs = (train_x,)
         m.train_targets = train_y
@@ -382,16 +393,21 @@ def main():
             )
             res = linear_cg(
                 lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
-                n_tridiag_iter=_ntri, x0=x0,
+                n_tridiag_iter=_ntri, x0=x0, conv_cols=conv_cols,
             )
         return int(res.num_iters), res.solution
 
     def _count_iters_mode(p):
-        # warm mode: the timed steps run CG from the previous step's solves — count the
+        # warm modes: the timed steps run CG from the previous step's solves — count the
         # iterations of a warm restart (one cold solve to get a state, then the warm count)
         if _warm:
             _, sol = _count_iters(p)
             it, _ = _count_iters(p, x0=sol * (1.0 + 1e-3))  # ~one-Adam-step perturbation
+            return it
+        if _warm_rhs:
+            _, sol = _count_iters(p)
+            x0 = sol.at[:, 1:].set(0.0) * (1.0 + 1e-3)  # warm rhs column, fresh probes
+            it, _ = _count_iters(p, x0=x0, conv_cols=1)
             return it
         it, _ = _count_iters(p)
         return it
@@ -437,7 +453,10 @@ def main():
         def time_one(use_pallas):
             st2, opt2 = make_step(use_pallas, train_x[:nb], train_y[:nb])
             s2 = opt2.init(params)
-            sst = jnp.zeros((nb, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
+            if _warm_rhs:
+                sst = jnp.zeros((nb, 1), dtype=jnp.float32)
+            else:
+                sst = jnp.zeros((nb, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
             p2, s2, l2, sst = st2(params, s2, jax.random.PRNGKey(3), sst)
             _sync(l2)
             t0 = time.time()

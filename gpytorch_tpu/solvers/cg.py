@@ -47,6 +47,7 @@ def linear_cg(
     axis_name: Optional[str] = None,
     global_n: Optional[int] = None,
     x0: Optional[jax.Array] = None,
+    conv_cols: Optional[int] = None,
 ) -> CGResult:
     """Solve A x = rhs for all columns of rhs simultaneously.
 
@@ -56,8 +57,17 @@ def linear_cg(
 
     ``x0``: optional warm-start iterate (same shape as ``rhs``, unnormalized).  Costs one
     extra matvec to form the true initial residual.  Do not combine with
-    ``n_tridiag_iter > 0`` — the Lanczos tridiagonals for SLQ are only valid for a zero
-    initial guess (the Krylov space must start at the rhs).
+    ``n_tridiag_iter > 0`` unless ``conv_cols`` is set — the Lanczos tridiagonals for SLQ
+    are only valid for a zero initial guess (the Krylov space must start at the rhs).
+
+    ``conv_cols``: when set, ONLY the first ``conv_cols`` columns gate convergence and
+    stagnation — the loop stops once those columns converge/stall (but never before
+    ``n_tridiag_iter``); the remaining columns receive whatever iterations the gating
+    columns needed.  This is the rhs-only warm-start mode of mBCG training: the rhs column
+    is warm-started and gates the stop, the probe columns are fresh (zero ``x0`` — the
+    caller guarantees it, which keeps their tridiagonals valid) and are deliberately
+    truncated; the variance-reduced logdet gradient (``settings.precond_logdet_vr``)
+    confines the truncation error to a small residual term.
     """
 
     settings._count_call("linear_cg")
@@ -92,8 +102,11 @@ def linear_cg(
     b = rhs / rhs_norm
 
     if x0 is not None:
-        if n_tridiag_iter > 0:
-            raise ValueError("linear_cg: x0 warm start is incompatible with tridiag extraction")
+        if n_tridiag_iter > 0 and conv_cols is None:
+            raise ValueError(
+                "linear_cg: x0 warm start is incompatible with tridiag extraction "
+                "(pass conv_cols for the rhs-only warm mode, with zero x0 on the tridiag columns)"
+            )
         x0 = x0 / rhs_norm
         r0 = b - matmul_fn(x0)
     else:
@@ -116,9 +129,13 @@ def linear_cg(
     x_best0 = x0
     since_improve0 = jnp.zeros((), dtype=jnp.int32)
 
+    def _gate(mask):
+        # convergence/stagnation gating: all columns, or only the leading conv_cols ones
+        return mask if conv_cols is None else mask[..., :conv_cols]
+
     def cond(state):
         k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, since = state
-        keep_going = jnp.logical_and(jnp.logical_not(jnp.all(conv)), since < stall_window)
+        keep_going = jnp.logical_and(jnp.logical_not(jnp.all(_gate(conv))), since < stall_window)
         # always run at least n_tridiag_iter iterations so the T matrices are complete
         return jnp.logical_or(k < n_tridiag_iter, jnp.logical_and(k < max_iter, keep_going))
 
@@ -148,7 +165,7 @@ def linear_cg(
         improved = resid < best_resid
         x_best = jnp.where(improved[..., None, :], x, x_best)
         best_resid = jnp.minimum(best_resid, resid)
-        since = jnp.where(jnp.any(improved), jnp.zeros_like(since), since + 1)
+        since = jnp.where(jnp.any(_gate(improved)), jnp.zeros_like(since), since + 1)
 
         z = precond_fn(r)
         rz_new = _reduce_sum(r * z, -2)

@@ -55,6 +55,11 @@ class _IQConfig:
     mv_cbf16: bool = False
     # warm-started solves: CG starts from the caller-supplied previous solution
     warm: bool = False
+    # rhs-only warm mode: state carries only the rhs columns; probes are FRESH each call
+    # (zero initial guess -> valid SLQ tridiagonals, unbiased probe draws) and only the rhs
+    # columns gate CG convergence, so probe solves are truncated at whatever iterations the
+    # warm rhs needed (>= n_tridiag_iter)
+    warm_rhs: bool = False
 
 
 # Host-level probe counter: when no explicit key is given and deterministic_probes is off,
@@ -108,17 +113,29 @@ def inv_quad_logdet_mbcg(
     cached executable silently ignores later config changes.
 
     ``solver_state`` / ``return_state`` — warm-started training solves (TPU-native
-    extension; no reference analogue): pass the previous step's solves (*batch, n,
-    t_rhs + num_probes) as ``solver_state`` and set ``return_state=True`` to get
-    ``((iq, ld), new_state)`` back.  Successive Adam steps move the hypers slowly, so
-    CG started from the previous solves converges in a fraction of the iterations.
-    Requires ``settings.skip_logdet_forward`` (Lanczos tridiagonals need a zero initial
-    guess), and the probe columns must mean the same thing step to step.  Recommended
-    key discipline (measured at N=4k: equal quality to cold solves at ~1.6x speed):
-    WINDOWED keys — the same explicit ``key`` for K consecutive steps, fresh each
-    window, ZEROING the state at each window boundary.  Globally frozen probes
-    (``settings.deterministic_probes``) also work but make the logdet-gradient sampling
-    bias systematic — measurably stalling noise convergence over a long Adam run.
+    extension; no reference analogue): pass the previous step's solves as
+    ``solver_state`` and set ``return_state=True`` to get ``((iq, ld), new_state)``
+    back.  Successive Adam steps move the hypers slowly, so CG started from the
+    previous solves converges in a fraction of the iterations.  The state's COLUMN
+    WIDTH selects the mode:
+
+    * **rhs-only** (recommended) — state of shape (*batch, n, t_rhs): only the rhs
+      solve is warm-started; probe vectors are drawn FRESH each call (pass a fresh
+      ``key`` per step) with a zero initial guess, so the SLQ tridiagonals stay valid
+      (the forward logdet is kept) and there is no frozen-probe gradient bias.  Only
+      the rhs columns gate CG convergence — the probe solves are truncated at whatever
+      iterations the warm rhs needed (at least ``max_lanczos_quadrature_iterations``).
+      Pair with ``settings.precond_logdet_vr`` so the probe-truncation error lands on a
+      small variance-reduced residual term instead of the whole logdet gradient.
+    * **full-width** — state of shape (*batch, n, t_rhs + num_probes): all columns are
+      warm-started.  Requires ``settings.skip_logdet_forward`` (Lanczos tridiagonals
+      need a zero initial guess) and probe columns that mean the same thing step to
+      step: WINDOWED keys (same explicit ``key`` for K consecutive steps, fresh each
+      window, ZEROING the state at boundaries) or globally frozen probes
+      (``settings.deterministic_probes``) — the latter makes the logdet-gradient
+      sampling bias systematic, measurably stalling noise convergence over a long
+      Adam run.
+
     The state carries no gradient."""
     has_rhs = inv_quad_rhs is not None
     sc = config if config is not None else settings.snapshot()
@@ -148,12 +165,28 @@ def inv_quad_logdet_mbcg(
     else:
         rhs = jnp.zeros(linop.batch_shape + (n, 1), dtype=linop.dtype)
     if solver_state is not None:
-        if cfg.logdet and not cfg.skip_logdet_forward:
-            raise ValueError(
-                "warm-started solves (solver_state) require settings.skip_logdet_forward: "
-                "the SLQ Lanczos tridiagonals are only valid for a zero initial guess"
-            )
-        cfg = dataclasses.replace(cfg, warm=True)
+        t_rhs = rhs.shape[-1] if has_rhs else 0
+        t_total = t_rhs + (cfg.num_probes if cfg.logdet else 0)
+        state_w = solver_state.shape[-1]
+        if cfg.logdet and has_rhs and state_w == t_rhs and t_rhs < t_total:
+            # rhs-only warm state: probes stay fresh/zero-init, tridiags stay valid —
+            # no skip_logdet_forward requirement, no frozen-probe gradient bias
+            cfg = dataclasses.replace(cfg, warm=True, warm_rhs=True)
+        else:
+            if state_w != max(t_total, 1):
+                raise ValueError(
+                    f"solver_state has {state_w} columns; expected {max(t_total, 1)} "
+                    f"(full warm state) or {t_rhs} (rhs-only warm state)"
+                )
+            if cfg.logdet and not cfg.skip_logdet_forward:
+                raise ValueError(
+                    "full-width warm-started solves (solver_state) require "
+                    "settings.skip_logdet_forward: the SLQ Lanczos tridiagonals are only "
+                    "valid for a zero initial guess. Pass a state of only the rhs columns "
+                    "(shape (*batch, n, t_rhs)) for the rhs-only warm mode, which keeps "
+                    "the forward logdet and draws fresh probes each step."
+                )
+            cfg = dataclasses.replace(cfg, warm=True)
     else:
         t_total = (rhs.shape[-1] if has_rhs else 0) + (cfg.num_probes if cfg.logdet else 0)
         solver_state = jnp.zeros(linop.batch_shape + (rhs.shape[-2], max(t_total, 1)), dtype=rhs.dtype)
@@ -216,6 +249,16 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
     # lifts the n_tridiag_iter minimum-iteration floor — CG exits purely on
     # convergence/stagnation (reference skip_logdet_forward only skips the quadrature).
     n_tri = cfg.n_tridiag_iter if (cfg.logdet and not cfg.skip_logdet_forward) else 0
+    x0_cg = None
+    conv_cols = None
+    if cfg.warm_rhs:
+        # warm rhs columns + fresh zero-init probe columns; only the rhs gates the stop
+        x0_cg = jnp.concatenate(
+            [jax.lax.stop_gradient(x0), jnp.zeros_like(rhs_all[..., t_rhs:])], axis=-1
+        ) if cfg.logdet else jax.lax.stop_gradient(x0)
+        conv_cols = t_rhs
+    elif cfg.warm:
+        x0_cg = jax.lax.stop_gradient(x0)
     result = linear_cg(
         lambda v: linop._matmul(v),
         rhs_all,
@@ -225,7 +268,8 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
         n_tridiag_iter=n_tri,
         axis_name=axis,
         global_n=n,
-        x0=jax.lax.stop_gradient(x0) if cfg.warm else None,
+        x0=x0_cg,
+        conv_cols=conv_cols,
     )
     solves = result.solution
 
@@ -265,8 +309,10 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
             if logdet_P is not None:
                 ld = ld + logdet_P.astype(dt)
     residuals = (linop, rhs, key, s_rhs, probes, norms, s_probe, Pinv_probes)
-    # solves is returned (stop-gradiented) as the warm-start state for the next step
-    return (iq, ld, jax.lax.stop_gradient(solves)), residuals
+    # solves is returned (stop-gradiented) as the warm-start state for the next step;
+    # rhs-only warm mode carries just the rhs columns (probes are redrawn fresh anyway)
+    state_out = solves[..., :t_rhs] if cfg.warm_rhs else solves
+    return (iq, ld, jax.lax.stop_gradient(state_out)), residuals
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -359,9 +405,12 @@ def _mbcg_bwd(cfg, residuals, g):
     key_bar = np.zeros(np.shape(key), dtype=jax.dtypes.float0)
     # warm-start state carries no gradient (stop-gradiented on entry); shape must mirror
     # the x0 input exactly — cold calls pass a max(t,1)-column zeros placeholder
-    t_state = (s_rhs.shape[-1] if cfg.has_rhs else 0) + (probes.shape[-1] if cfg.logdet else 0)
-    if not cfg.warm:
-        t_state = max(t_state, 1)
+    if cfg.warm_rhs:
+        t_state = s_rhs.shape[-1]
+    else:
+        t_state = (s_rhs.shape[-1] if cfg.has_rhs else 0) + (probes.shape[-1] if cfg.logdet else 0)
+        if not cfg.warm:
+            t_state = max(t_state, 1)
     x0_bar = jnp.zeros(rhs.shape[:-1] + (t_state,), dtype=rhs.dtype)
     return linop_bar, rhs_bar, key_bar, x0_bar
 

@@ -235,3 +235,121 @@ def test_warm_schedule_end_to_end_matches_cold():
     p_warm = run(True)
     for a, b in zip(jax.tree_util.tree_leaves(p_cold), jax.tree_util.tree_leaves(p_warm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3)
+
+
+# ---------------------------------------------------------------- rhs-only warm mode
+# State carries ONLY the rhs solve columns; probes are fresh (zero x0, valid tridiags,
+# forward logdet kept) and truncated at the iterations the warm rhs needed.
+
+
+def _ctx_rhs():
+    import contextlib
+
+    st = contextlib.ExitStack()
+    st.enter_context(gp.settings.max_cholesky_size(0))
+    st.enter_context(gp.settings.num_trace_samples(8))
+    st.enter_context(gp.settings.max_lanczos_quadrature_iterations(10))
+    st.enter_context(gp.settings.max_cg_iterations(400))
+    st.enter_context(gp.settings.cg_tolerance(1e-3))
+    st.enter_context(gp.settings.cg_stall_window(40))
+    return st
+
+
+def test_rhs_only_warm_keeps_forward_logdet_and_matches_cold():
+    """Same key + converged rhs state => identical probes, near-identical loss AND grads,
+    with the forward SLQ logdet present (unlike full-width warm, which requires
+    skip_logdet_forward)."""
+    m, x, y = _model()
+    params = m.trainable_params()
+
+    def loss_fn(p, st, k):
+        mm = m.with_params(p)
+        with _ctx_rhs():
+            mll2 = ExactMarginalLogLikelihood(mm.likelihood, mm)
+            val, new_st = mll2(mm(x), y, key=k, solver_state=st, return_state=True)
+        return -val, new_st
+
+    k = jax.random.PRNGKey(42)
+    st0 = jnp.zeros((x.shape[0], 1), jnp.float32)  # rhs-only width
+    (l0, st1), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params, st0, k)
+    assert st1.shape == (x.shape[0], 1)
+    (l1, st2), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, st1, k)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4)
+    # the forward value includes the logdet: must match the plain cold mll
+    mm = m.with_params(params)
+    with _ctx_rhs():
+        mll_cold = ExactMarginalLogLikelihood(mm.likelihood, mm)
+        l_cold = -mll_cold(mm(x), y, key=k)
+    np.testing.assert_allclose(float(l0), float(l_cold), rtol=1e-4)
+
+
+def test_rhs_only_warm_truncates_probe_iterations():
+    """With a converged rhs x0 and conv_cols=1, the joint CG stops at the tridiag floor
+    instead of running the probe columns to tolerance."""
+    m, x, y = _model()
+    with _ctx_rhs():
+        covar = m.likelihood.marginal(m(x)).lazy_covariance_matrix.evaluate_kernel()
+        apply_P, _, _ = covar._preconditioner()
+        rhs = (y - jnp.mean(y))[:, None]
+        probes = jax.random.normal(jax.random.PRNGKey(3), (x.shape[0], 8), jnp.float32)
+        cold = linear_cg(covar._matmul, jnp.concatenate([rhs, probes], -1),
+                         precond_fn=apply_P, tolerance=1e-3, n_tridiag_iter=10)
+        x0 = jnp.concatenate([cold.solution[:, :1], jnp.zeros_like(probes)], -1)
+        warm = linear_cg(covar._matmul, jnp.concatenate([rhs, probes], -1),
+                         precond_fn=apply_P, tolerance=1e-3, n_tridiag_iter=10,
+                         x0=x0, conv_cols=1)
+    assert int(warm.num_iters) <= max(11, int(cold.num_iters) // 2), (
+        int(cold.num_iters), int(warm.num_iters))
+    # rhs solution still converged
+    np.testing.assert_allclose(np.asarray(warm.solution[:, 0]),
+                               np.asarray(cold.solution[:, 0]), rtol=1e-2, atol=1e-3)
+
+
+def test_rhs_only_warm_training_matches_cold():
+    """Adam with rhs-only warm state + per-step fresh keys lands where cold training lands
+    (no windowed keys, no state zeroing, no skip_logdet_forward)."""
+    import optax
+
+    m, x, y = _model(n=240)
+    params0 = m.trainable_params()
+    opt = optax.adam(0.1)
+
+    def make_step(warm: bool):
+        @jax.jit
+        def step(p, s, k, st):
+            def loss(p):
+                mm = m.with_params(p)
+                with _ctx_rhs(), gp.settings.precond_logdet_vr(True):
+                    mll = ExactMarginalLogLikelihood(mm.likelihood, mm)
+                    val, new_st = mll(mm(x), y, key=k, solver_state=st if warm else None,
+                                      return_state=True)
+                return -val, new_st
+            (l, new_st), g = jax.value_and_grad(loss, has_aux=True)(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, new_st, l
+        return step
+
+    def run(warm):
+        p, s = params0, opt.init(params0)
+        st = jnp.zeros((x.shape[0], 1), jnp.float32)
+        key = jax.random.PRNGKey(17)
+        step = make_step(warm)
+        for i in range(20):
+            key, sub = jax.random.split(key)
+            p, s, st, l = step(p, s, sub, st)
+        return p
+    p_cold = run(False)
+    p_warm = run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_cold), jax.tree_util.tree_leaves(p_warm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3)
+
+
+def test_bad_state_width_raises():
+    m, x, y = _model(n=64)
+    mll = ExactMarginalLogLikelihood(m.likelihood, m)
+    st = jnp.zeros((x.shape[0], 5), jnp.float32)  # neither 1 (rhs) nor 9 (full)
+    with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(8), \
+         pytest.raises(ValueError, match="columns"):
+        mll(m(x), y, solver_state=st, return_state=True)
