@@ -21,10 +21,16 @@ class _ApproximateMarginalLogLikelihood(MarginalLogLikelihood):
     def forward(self, approximate_dist_f, target, **kwargs):
         # likelihood term, averaged per data point in the batch (reference :44-76)
         num_batch = approximate_dist_f.event_shape[0]
+        # kl_indices: minibatched stochastic-KL estimator for NNVariationalStrategy
+        # (reference VNNGP :339-465 — the KL over M inducing values is subsampled like
+        # the data batch); only pass it for strategies that accept it
+        kl_kwargs = {}
+        if "kl_indices" in kwargs:
+            kl_kwargs["kl_indices"] = kwargs.pop("kl_indices")
         log_likelihood = self._log_likelihood_term(approximate_dist_f, target, **kwargs) / num_batch
-        kl_divergence = self.model.variational_strategy.kl_divergence(model=self.model) * (
-            self.beta / self.num_data
-        )
+        kl_divergence = self.model.variational_strategy.kl_divergence(
+            model=self.model, **kl_kwargs
+        ) * (self.beta / self.num_data)
 
         # priors and added loss terms
         log_prior = self.model.prior_log_prob_sum()

@@ -151,6 +151,57 @@ class IVFNNUtil(NNUtil):
         lists = jnp.where(valid, order[gather_pos], -1).astype(jnp.int32)  # (C, L)
         self._index = {"centroids": centroids, "lists": lists}
 
+    def build_sequential_nn_idx(self, x) -> jax.Array:
+        """IVF-accelerated sequential k-NN (reference :155 semantics, approximate).
+
+        For each point i, candidates are the members of the ``nprobe`` nearest inverted
+        lists plus the k immediately preceding points (which guarantees k valid
+        candidates for every row), masked to indices < i.  This replaces the exact
+        O(N²) host build — the VNNGP-at-scale setup cost — with O(N · nprobe · N/C).
+        """
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if self._index is None or self.train_x is None or self.train_x.shape != x.shape:
+            self.set_nn_idx(x)
+        N, k = x.shape[0], self.k
+        if k >= N:
+            raise ValueError(f"k should be smaller than number of data, got k={k}, N={N}")
+        cents = self._index["centroids"]
+        lists = self._index["lists"]
+        nprobe = min(self.nprobe, cents.shape[0])
+
+        @jax.jit
+        def _block(rows, pts):
+            dc = _sq_dist(pts, cents)
+            _, probe = jax.lax.top_k(-dc, nprobe)
+            cand = lists[probe].reshape(pts.shape[0], -1)  # (b, nprobe*L)
+            prev = rows[:, None] - 1 - jnp.arange(k)[None, :]  # k preceding indices
+            cand = jnp.concatenate([cand, prev], axis=-1)
+            cand_x = x[jnp.clip(cand, 0, N - 1)]
+            d2 = jnp.sum((pts[:, None, :] - cand_x) ** 2, axis=-1)
+            # mask: padding, self/future points, and duplicate candidates (keep first)
+            invalid = jnp.logical_or(cand < 0, cand >= rows[:, None])
+            sort_key = cand.astype(jnp.float32) + jnp.where(invalid, jnp.inf, 0.0)
+            order = jnp.argsort(sort_key, axis=-1)
+            cand_s = jnp.take_along_axis(cand, order, axis=-1)
+            d2_s = jnp.take_along_axis(d2, order, axis=-1)
+            inv_s = jnp.take_along_axis(invalid, order, axis=-1)
+            dup = jnp.concatenate(
+                [jnp.zeros_like(inv_s[:, :1]), cand_s[:, 1:] == cand_s[:, :-1]], axis=-1
+            )
+            d2_s = jnp.where(jnp.logical_or(inv_s, dup), jnp.inf, d2_s)
+            _, pos = jax.lax.top_k(-d2_s, k)
+            return jnp.take_along_axis(cand_s, pos, axis=-1).astype(jnp.int32)
+
+        block = 4096
+        parts = []
+        for start in range(k, N, block):
+            end = min(start + block, N)
+            rows = jnp.arange(start, start + block)
+            pts = x[jnp.clip(rows, 0, N - 1)]
+            out = _block(rows, pts)
+            parts.append(out[: end - start])
+        return jnp.concatenate(parts, axis=0)
+
     def find_nn_idx(self, test_x, k: Optional[int] = None) -> jax.Array:
         if self._index is None:
             raise RuntimeError("Call set_nn_idx(train_x) before find_nn_idx")

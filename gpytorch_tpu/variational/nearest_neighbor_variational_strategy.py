@@ -39,7 +39,7 @@ from ._variational_strategy import _VariationalStrategy
 class NNVariationalStrategy(_VariationalStrategy):
     def __init__(self, model, inducing_points, variational_distribution, k: int,
                  training_batch_size: Optional[int] = None, jitter_val: float = 1e-3,
-                 compute_full_kl: bool = False):
+                 compute_full_kl: bool = False, preferred_nnlib: str = "exact"):
         if not isinstance(variational_distribution, MeanFieldVariationalDistribution):
             raise RuntimeError("NNVariationalStrategy only supports MeanFieldVariationalDistribution")
         inducing_points = jnp.asarray(inducing_points)
@@ -56,7 +56,19 @@ class NNVariationalStrategy(_VariationalStrategy):
         self.compute_full_kl = bool(compute_full_kl)
         self.training_batch_size = int(training_batch_size) if training_batch_size else self.M
 
-        self.nn_util = NNUtil(self.k, dim=self.D)
+        # preferred_nnlib mirrors the reference's faiss preference at scale
+        # (gpytorch/utils/nearest_neighbors.py:35): "exact" = brute-force MXU top-k,
+        # "ivf" = the approximate inverted-file index (use for M ≳ 10⁴ — both the
+        # per-call queries and the one-time sequential build drop from O(M²) to
+        # O(M · nprobe · M/C))
+        if preferred_nnlib == "ivf":
+            from ..utils.nearest_neighbors import IVFNNUtil
+
+            self.nn_util = IVFNNUtil(self.k, dim=self.D)
+        elif preferred_nnlib == "exact":
+            self.nn_util = NNUtil(self.k, dim=self.D)
+        else:
+            raise ValueError(f"preferred_nnlib must be 'exact' or 'ivf', got {preferred_nnlib!r}")
         self.nn_util.set_nn_idx(inducing_points)
         # sequential k-NN structure among inducing points (one-time host cost)
         self.nn_xinduce_idx = self.nn_util.build_sequential_nn_idx(inducing_points)  # (M−k, k)

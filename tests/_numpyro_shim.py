@@ -20,11 +20,13 @@ _STACK = []  # active interpretation frames (innermost last)
 
 
 class _Frame:
-    def __init__(self, key=None, substitutions=None):
+    def __init__(self, key=None, substitutions=None, conditioned=None):
         self.key = key
         self.subs = dict(substitutions or {})
+        self.conditioned = dict(conditioned or {})  # handlers.condition: fixed AS OBSERVED
         self.trace: Dict[str, Dict[str, Any]] = {}
         self.scale = 1.0
+        self.hidden = set()  # handlers.block: site names excluded from traces
 
 
 def _frame() -> _Frame:
@@ -40,6 +42,8 @@ def sample(name, dist, obs=None):
     fr = _frame()
     if obs is not None:
         value = obs
+    elif name in fr.conditioned:
+        value = fr.conditioned[name]  # handlers.condition: fixed and counted as observed
     elif name in fr.subs:
         value = fr.subs[name]
     else:
@@ -48,7 +52,9 @@ def sample(name, dist, obs=None):
         fr.key, sub = jax.random.split(fr.key)
         value = dist.sample(sub)
     lp = jnp.sum(dist.log_prob(value)) * fr.scale
-    fr.trace[name] = {"type": "sample", "value": value, "log_prob": lp, "is_observed": obs is not None}
+    observed = obs is not None or name in fr.conditioned
+    if name not in fr.hidden:
+        fr.trace[name] = {"type": "sample", "value": value, "log_prob": lp, "is_observed": observed}
     return value
 
 
@@ -70,7 +76,10 @@ class handlers:
     @contextlib.contextmanager
     def seed(rng_seed=None, rng_key=None):
         key = rng_key if rng_key is not None else jax.random.PRNGKey(int(rng_seed))
-        fr = _Frame(key=key, substitutions=_STACK[-1].subs if _STACK else None)
+        fr = _Frame(key=key, substitutions=_STACK[-1].subs if _STACK else None,
+                    conditioned=_STACK[-1].conditioned if _STACK else None)
+        if _STACK:
+            fr.hidden = set(_STACK[-1].hidden)
         _STACK.append(fr)
         try:
             yield fr
@@ -82,7 +91,10 @@ class handlers:
     def substitute(data=None):
         parent_subs = _STACK[-1].subs if _STACK else {}
         parent_key = _STACK[-1].key if _STACK else None
-        fr = _Frame(key=parent_key, substitutions={**parent_subs, **(data or {})})
+        fr = _Frame(key=parent_key, substitutions={**parent_subs, **(data or {})},
+                    conditioned=_STACK[-1].conditioned if _STACK else None)
+        if _STACK:
+            fr.hidden = set(_STACK[-1].hidden)
         _STACK.append(fr)
         try:
             yield fr
@@ -91,6 +103,31 @@ class handlers:
             if len(_STACK) >= 2:
                 _STACK[-2].key = fr.key
             _STACK.pop()
+
+    @staticmethod
+    @contextlib.contextmanager
+    def condition(data=None):
+        """Fix sample sites to given values AND mark them observed (numpyro.handlers.condition —
+        the MCMC-side analogue of substitute)."""
+        fr = _frame()
+        old = dict(fr.conditioned)
+        fr.conditioned.update(data or {})
+        try:
+            yield
+        finally:
+            fr.conditioned = old
+
+    @staticmethod
+    @contextlib.contextmanager
+    def block(hide=()):
+        """Exclude the named sites from traces (numpyro.handlers.block with a hide list)."""
+        fr = _frame()
+        old = set(fr.hidden)
+        fr.hidden |= set(hide)
+        try:
+            yield
+        finally:
+            fr.hidden = old
 
     @staticmethod
     @contextlib.contextmanager
@@ -159,6 +196,96 @@ class distributions:
     Distribution = Distribution
     Normal = Normal
     constraints = _Constraints
+
+
+# -- MCMC-side surface (numpyro.infer.util + numpyro.infer.MCMC contract) -------------------
+#
+# Documented delta vs real numpyro (VERDICT r2 missing #1): no support transforms (models
+# must expose real-support latents — constrain inside the model, e.g. softplus), no NUTS
+# tree adaptation (fixed-step leapfrog HMC with a warmup-free step size), no vectorized
+# chains, and plate only scales (no dim bookkeeping).  The call signatures mirror numpyro
+# so the real library slots in unchanged.
+
+
+def log_density(model_fn, model_args, model_kwargs, params):
+    """numpyro.infer.util.log_density: joint log-probability of ``model_fn`` with latent
+    sites substituted from ``params`` (observed sites keep their obs).  Returns
+    (log_joint, trace)."""
+    with handlers.seed(rng_key=jax.random.PRNGKey(0)):
+        with handlers.substitute(data=dict(params)):
+            _, tr = handlers.trace(lambda: model_fn(*model_args, **model_kwargs))()
+    lj = sum(v["log_prob"] for v in tr.values())
+    return lj, tr
+
+
+def potential_energy(model_fn, model_args, model_kwargs, params):
+    lj, _ = log_density(model_fn, model_args, model_kwargs, params)
+    return -lj
+
+
+class infer:
+    """numpyro.infer façade: NUTS kernel spec + MCMC driver (fixed-step HMC)."""
+
+    class NUTS:
+        def __init__(self, model, step_size=0.05, num_leapfrog=8):
+            self.model = model
+            self.step_size = float(step_size)
+            self.num_leapfrog = int(num_leapfrog)
+
+    class MCMC:
+        def __init__(self, kernel, num_warmup=50, num_samples=100):
+            self.kernel = kernel
+            self.num_warmup = int(num_warmup)
+            self.num_samples = int(num_samples)
+            self._samples = None
+
+        def run(self, key, *args, **kwargs):
+            model = self.kernel.model
+            # initialize latents from the prior
+            with handlers.seed(rng_key=jax.random.fold_in(key, 0)):
+                _, tr0 = handlers.trace(lambda: model(*args, **kwargs))()
+            params = {k: v["value"] for k, v in tr0.items()
+                      if v["type"] == "sample" and not v["is_observed"]}
+
+            def potential(p):
+                return potential_energy(model, args, kwargs, p)
+
+            grad_fn = jax.jit(jax.value_and_grad(potential))
+            eps, L = self.kernel.step_size, self.kernel.num_leapfrog
+
+            def leapfrog(p, mom):
+                u, g = grad_fn(p)
+                for _ in range(L):
+                    mom = jax.tree_util.tree_map(lambda m, gg: m - 0.5 * eps * gg, mom, g)
+                    p = jax.tree_util.tree_map(lambda q, m: q + eps * m, p, mom)
+                    u, g = grad_fn(p)
+                    mom = jax.tree_util.tree_map(lambda m, gg: m - 0.5 * eps * gg, mom, g)
+                return p, mom, u
+
+            samples = {k: [] for k in params}
+            u0 = float(potential(params))
+            accepted = 0
+            for i in range(self.num_warmup + self.num_samples):
+                key, km, ka = jax.random.split(key, 3)
+                mom = {k: jax.random.normal(jax.random.fold_in(km, j), jnp.shape(v))
+                       for j, (k, v) in enumerate(sorted(params.items()))}
+                ke0 = sum(float(jnp.sum(m**2)) / 2 for m in mom.values())
+                new_p, new_mom, u1 = leapfrog(params, mom)
+                ke1 = sum(float(jnp.sum(m**2)) / 2 for m in new_mom.values())
+                log_accept = (u0 + ke0) - (float(u1) + ke1)
+                if jnp.isfinite(u1) and float(jnp.log(jax.random.uniform(ka))) < log_accept:
+                    params, u0 = new_p, float(u1)
+                    accepted += 1
+                if i >= self.num_warmup:
+                    for k, v in params.items():
+                        samples[k].append(v)
+            self.accept_rate = accepted / (self.num_warmup + self.num_samples)
+            self._samples = {k: jnp.stack(v) for k, v in samples.items()}
+
+        def get_samples(self):
+            if self._samples is None:
+                raise RuntimeError("call run() first")
+            return self._samples
 
 
 def elbo(model_fn, guide_fn, key, *args, **kwargs):
