@@ -1,0 +1,76 @@
+"""NLPD anatomy at fixed hypers: joint (the bench metric) vs mean-marginal NLPD, variance
+stats, and LOVE-rank sensitivity.  Diagnoses why healthy-RMSE runs can report wildly
+different NLL (VERDICT r2 weak #5: 1.1-nat NLL spread; run D r3: RMSE 0.1795 / NLL 1.44).
+
+Usage: python _diag_nlpd.py <noise> <outputscale> <ls1> <ls2> <ls3> [rank ...]
+"""
+import contextlib
+import sys
+
+import jax
+import jax.numpy as jnp
+
+import gpytorch_tpu as gp
+from bench import _solver_ctx
+from gpytorch_tpu.distributions import MultivariateNormal
+from gpytorch_tpu.kernels import RBFKernel, ScaleKernel
+from gpytorch_tpu.likelihoods import GaussianLikelihood
+from gpytorch_tpu.means import ConstantMean
+from gpytorch_tpu.metrics import mean_squared_error, negative_log_predictive_density
+from gpytorch_tpu.models import ExactGP
+
+N, N_TEST, D = 100_000, 2048, 3
+key = jax.random.PRNGKey(0)
+all_x = jax.random.uniform(key, (N + N_TEST, D), dtype=jnp.float32)
+f = (jnp.sin(4 * all_x[:, 0]) * jnp.cos(3 * all_x[:, 1])
+     + 0.5 * jnp.sin(7 * all_x[:, 2] * all_x[:, 0]) + 0.1 * all_x[:, 2])
+all_y = f + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (N + N_TEST,), dtype=jnp.float32)
+all_y = (all_y - jnp.mean(all_y)) / jnp.std(all_y)
+train_x, train_y = all_x[:N], all_y[:N]
+test_x, test_y = all_x[N:], all_y[N:]
+
+
+class Model(ExactGP):
+    def __init__(self, tx, ty, lik):
+        super().__init__(tx, ty, lik)
+        self.mean_module = ConstantMean()
+        self.covar_module = ScaleKernel(RBFKernel(ard_num_dims=D))
+
+    def forward(self, x):
+        return MultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+
+noise, outputscale = float(sys.argv[1]), float(sys.argv[2])
+ls = [float(v) for v in sys.argv[3:6]]
+ranks = [int(v) for v in sys.argv[6:]] or [100]
+
+lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(1e-4))
+m = Model(train_x, train_y, lik)
+m.likelihood.noise = noise
+m.covar_module.outputscale = outputscale
+m.covar_module.base_kernel.lengthscale = jnp.asarray(ls)
+m = m.eval()
+
+for rank in ranks:
+    with _solver_ctx(gp, bf16=False), gp.settings.kernel_matvec_highest(True), \
+         gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(50), \
+         gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
+         gp.settings.preconditioner_noise_budget(1e-3), \
+         gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(rank):
+        pred = m.likelihood(m(test_x))
+        rmse = float(jnp.sqrt(mean_squared_error(pred, test_y)))
+        var = pred.variance
+        z = (pred.mean - test_y) / jnp.sqrt(var)
+        # marginal NLPD: mean of per-point -log N(y | mu_i, var_i) — insensitive to the
+        # joint covariance's off-diagonal/rank structure
+        marg = float(jnp.mean(0.5 * (jnp.log(2 * jnp.pi * var) + z**2)))
+        with gp.settings.max_preconditioner_size(50):
+            joint = float(negative_log_predictive_density(pred, test_y))
+        print({"rank": rank, "rmse": round(rmse, 4), "joint_nlpd": round(joint, 4),
+               "marginal_nlpd": round(marg, 4),
+               "var_min": round(float(jnp.min(var)), 5), "var_med": round(float(jnp.median(var)), 5),
+               "var_max": round(float(jnp.max(var)), 5),
+               "z2_mean": round(float(jnp.mean(z**2)), 3)}, flush=True)
+    # caches are per-eval-call; clear between ranks
+    m = m.train().eval()
+print("NLPD DIAG DONE", flush=True)

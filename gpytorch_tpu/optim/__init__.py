@@ -1,4 +1,4 @@
 from .ngd import NGD, ngd
-from .warm_start import WarmStartSchedule
+from .warm_start import WarmStartSchedule, rhs_warm_context
 
-__all__ = ["NGD", "WarmStartSchedule", "ngd"]
+__all__ = ["NGD", "WarmStartSchedule", "ngd", "rhs_warm_context"]

@@ -1,32 +1,65 @@
-"""Warm-start schedule for mBCG training (TPU-native extension; no reference analogue).
+"""Warm-start recipes for mBCG training (TPU-native extension; no reference analogue).
 
-Packages the measured-correct key/state discipline for warm-started solves
+Two validated disciplines for warm-started solves
 (``mll(output, y, key=k, solver_state=st, return_state=True)``; solvers/inv_quad.py):
+
+**rhs-only (recommended; on-chip validated at N=100k, 2026-08-18)** — state carries just
+the rhs solve columns (shape ``(n, num_rhs)``); probe vectors are drawn FRESH every step
+(plain fresh-key chain, no windows, no resets) with a zero initial guess, so the SLQ
+tridiagonals stay valid and there is no frozen-probe bias.  Only the rhs columns gate CG
+convergence — probe solves are truncated at the ``max_lanczos_quadrature_iterations``
+floor, which with ``settings.precond_logdet_vr(True)`` perturbs only the small
+variance-reduced residual of the logdet gradient.  Measured flagship recipe
+(NTRI=20, VR on): RMSE 0.1802 / NLL −1.09 at 0.55× the cold-solve step cost; see
+:func:`rhs_warm_context` and ``BENCH_WARM=rhs`` in bench.py.
+
+**windowed full-width** (:class:`WarmStartSchedule`) — state carries all columns:
 
   * the SAME probe key for ``window`` consecutive steps — the probe columns mean the
     same thing, so CG restarted from the previous step's solutions is valid;
   * a FRESH key each window — the frozen-probe logdet-gradient bias averages out
     (globally frozen probes measurably stall the noise hyperparameter);
   * the carried state ZEROED at each window boundary — new probe columns need a zero
-    initial guess (carrying the old probes' solutions stalls CG on a wrong start).
+    initial guess (carrying the old probes' solutions stalls CG on a wrong start);
+  * requires ``settings.skip_logdet_forward`` (no forward SLQ value).
 
-Measured at N=4k / 120 Adam steps: identical quality to cold solves (RMSE/NLL/noise all
-match) at ~1.6x end-to-end speed.
+Measured at N=4k / 120 Adam steps: identical quality to cold solves at ~1.6x speed.
 
 .. warning::
-    At the flagship scale (N=100k, bench.py) the same recipe currently REGRESSES NLL
-    (0.92 vs −0.48 cold, on-chip 2026-08-18): within a window the frozen probes make the
-    SLQ logdet-gradient sampling error systematic, and at 100k that bias is large enough
-    to pin the noise hyperparameter at its floor before the window rolls.  RMSE is
-    unaffected.  Until the bias is fixed (fresh-probe/warm-rhs split or a cross-window
-    control variate), treat warm starts as validated only at N ≲ 10k, or re-measure
-    quality at your N before adopting (BENCH_WARM=1 in bench.py does exactly that).
+    At the flagship scale (N=100k) the windowed recipe WITHOUT ``precond_logdet_vr``
+    regresses NLL (0.92 vs −0.48 cold, on-chip 2026-08-18): the frozen probes make the
+    SLQ logdet-gradient sampling error systematic long enough to pin the noise at its
+    floor.  With VR on it recovers RMSE (0.1795 measured) — but prefer the rhs-only
+    mode, which keeps the forward logdet and needs no window tuning.
 """
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+from .. import settings
+
+
+def rhs_warm_context(probe_iters: int = 20):
+    """Settings context for the rhs-only warm recipe (flagship-validated knobs).
+
+    Enters ``precond_logdet_vr`` (confines the probe-truncation error to the small
+    variance-reduced residual term) and sets ``max_lanczos_quadrature_iterations`` to
+    ``probe_iters`` — the per-step CG iteration floor, i.e. the probe-solve budget.
+    Use with a state of shape ``(n, num_rhs)`` and a fresh key per step::
+
+        state = jnp.zeros((n, 1), jnp.float32)
+        with rhs_warm_context():
+            val, state = mll(model(x), y, key=step_key, solver_state=state,
+                             return_state=True)
+    """
+    st = contextlib.ExitStack()
+    st.enter_context(settings.precond_logdet_vr(True))
+    st.enter_context(settings.max_lanczos_quadrature_iterations(int(probe_iters)))
+    return st
 
 
 class WarmStartSchedule:
