@@ -2,15 +2,16 @@
 
 Runs the exact bench.py training configuration for BENCH_ACC_STEPS steps, records each
 step's wall time (synced; the measured ~35 ms axon readback RTT from _prof_rtt.py is
-subtracted) and its CG iteration count (captured from the verbose_linalg jit callback),
-then fits  t_step ≈ fixed + per_iter · cg_iters  by least squares.  `fixed` is the
+subtracted) and its parameter snapshot, then REPLAYS the forward solve at each snapshot
+to read the CG iteration count as a jit output (the axon plugin does not support
+debug.callback, so verbose_linalg's jit logging cannot run on-chip), and finally fits
+t_step ≈ fixed + per_iter · cg_iters by least squares.  `fixed` is the
 iteration-independent cost (preconditioner build + probe draw + fused BBMM backward +
 dispatch); `per_iter` is one fused K·V matvec.  The fit closes the accounting when the
 predicted times track the measured ones — the residual column says how much is left.
 
 Usage: [BENCH_* env overrides as for bench.py] python _prof_accounting.py [N]
 """
-import logging
 import os
 import sys
 import time
@@ -19,17 +20,6 @@ import jax
 import jax.numpy as jnp
 
 RTT_S = float(os.environ.get("BENCH_RTT", "0.035"))  # measured by _prof_rtt.py
-
-
-class _IterCapture(logging.Handler):
-    def __init__(self):
-        super().__init__()
-        self.iters = []
-
-    def emit(self, record):
-        msg = record.getMessage()
-        if "linear_cg" in msg and "-> " in msg:
-            self.iters.append(int(msg.split("-> ")[1].split(" iters")[0]))
 
 
 def main():
@@ -75,7 +65,7 @@ def main():
         m = model.with_params(p)
         m.train_inputs = (x,)
         m.train_targets = y
-        with _solver_ctx(gp), gp.settings.verbose_linalg(True):
+        with _solver_ctx(gp):
             mll = ExactMarginalLogLikelihood(m.likelihood, m)
             if _warm_any:
                 val, new_st = mll(m(x), y, key=k, solver_state=st, return_state=True)
@@ -87,11 +77,6 @@ def main():
         (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, k, st)
         updates, s = opt.update(grads, s)
         return optax.apply_updates(p, updates), s, loss, new_st
-
-    cap = _IterCapture()
-    gp.settings.logger.addHandler(cap)
-    gp.settings.logger.setLevel(logging.INFO)
-    gp.settings.logger.propagate = False
 
     probes = int(os.environ.get("BENCH_PROBES", "31"))
     if _warm_mode == "rhs":
@@ -108,18 +93,50 @@ def main():
     pkey, sub = jax.random.split(pkey)
     p, s, loss, st = step(p, s, sub, st)
     float(loss)  # compile
-    cap.iters.clear()
 
-    times, iters_per_step = [], []
+    # replay fn: exactly the mBCG forward's CG inputs (rhs + P-sampled normalized probes)
+    # at a given param snapshot, returning num_iters as a jit output
+    from gpytorch_tpu.solvers.cg import linear_cg
+
+    n_tri = 0 if _warm_mode == "1" else int(os.environ.get("BENCH_NTRI", "5"))
+
+    @jax.jit
+    def count_iters(p, k, st_):
+        m = model.with_params(p)
+        m.train_inputs = (x,)
+        m.train_targets = y
+        with _solver_ctx(gp):
+            mvn = m.likelihood.marginal(m(x))
+            covar = mvn.lazy_covariance_matrix.evaluate_kernel()
+            apply_P, P_op, _ = covar._preconditioner()
+            if P_op is not None:
+                z = jnp.moveaxis(P_op.zero_mean_mvn_samples(k, probes), 0, -1)
+            else:  # below min_preconditioning_size: i.i.d. normal probes
+                z = jax.random.normal(k, (x.shape[0], probes), dtype=jnp.float32)
+            z = z / jnp.sqrt(jnp.maximum(jnp.sum(z * z, axis=-2, keepdims=True), 1e-20))
+            rhs = (y - mvn.mean)[:, None]
+            rhs_all = jnp.concatenate([rhs, z], axis=-1)
+            if _warm_mode == "rhs":
+                x0 = jnp.concatenate([st_, jnp.zeros_like(z)], axis=-1)
+                res = linear_cg(covar._matmul, rhs_all, precond_fn=apply_P,
+                                n_tridiag_iter=n_tri, x0=x0, conv_cols=1)
+            elif _warm_mode == "1":
+                res = linear_cg(covar._matmul, rhs_all, precond_fn=apply_P,
+                                n_tridiag_iter=0, x0=st_)
+            else:
+                res = linear_cg(covar._matmul, rhs_all, precond_fn=apply_P, n_tridiag_iter=n_tri)
+            return res.num_iters
+
+    times, snaps = [], []
     for i in range(n_steps):
         pkey, sub = jax.random.split(pkey)
-        n_before = len(cap.iters)
+        snaps.append((p, sub, st))
         t0 = time.perf_counter()
         p, s, loss, st = step(p, s, sub, st)
         float(loss)  # sync (includes one tunnel RTT)
         times.append(time.perf_counter() - t0 - RTT_S)
-        new = cap.iters[n_before:]
-        iters_per_step.append(new[-1] if new else -1)
+
+    iters_per_step = [int(count_iters(pp, kk, ss)) for pp, kk, ss in snaps]
 
     import numpy as np
 
