@@ -40,15 +40,20 @@ class Model(ExactGP):
         return MultivariateNormal(self.mean_module(x), self.covar_module(x))
 
 
+import os
+
 noise, outputscale = float(sys.argv[1]), float(sys.argv[2])
 ls = [float(v) for v in sys.argv[3:6]]
 ranks = [int(v) for v in sys.argv[6:]] or [100]
+mean_const = float(os.environ.get("DIAG_MEAN", "0.0"))
+n_ir = int(os.environ.get("DIAG_IR", "0"))  # solve_iterative_refinements for the eval
 
 lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(1e-4))
 m = Model(train_x, train_y, lik)
 m.likelihood.noise = noise
 m.covar_module.outputscale = outputscale
 m.covar_module.base_kernel.lengthscale = jnp.asarray(ls)
+m.mean_module.constant = mean_const
 m = m.eval()
 
 for rank in ranks:
@@ -56,6 +61,7 @@ for rank in ranks:
          gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(50), \
          gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
          gp.settings.preconditioner_noise_budget(1e-3), \
+         gp.settings.solve_iterative_refinements(n_ir), \
          gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(rank):
         pred = m.likelihood(m(test_x))
         rmse = float(jnp.sqrt(mean_squared_error(pred, test_y)))
@@ -70,7 +76,9 @@ for rank in ranks:
                "marginal_nlpd": round(marg, 4),
                "var_min": round(float(jnp.min(var)), 5), "var_med": round(float(jnp.median(var)), 5),
                "var_max": round(float(jnp.max(var)), 5),
-               "z2_mean": round(float(jnp.mean(z**2)), 3)}, flush=True)
+               "z2_mean": round(float(jnp.mean(z**2)), 3),
+               "pred_mean_std": round(float(jnp.std(pred.mean)), 4),
+               "pred_mean_absmax": round(float(jnp.max(jnp.abs(pred.mean))), 4)}, flush=True)
     # caches are per-eval-call; clear between ranks
     m = m.train().eval()
 print("NLPD DIAG DONE", flush=True)

@@ -334,6 +334,16 @@ def main():
         pred = final.likelihood(final(test_x))
         rmse = float(jnp.sqrt(mean_squared_error(pred, test_y)))
         _t(f"eval rmse done: {rmse:.4f}")
+        # Marginal (per-point) NLPD: the calibration gate that does NOT depend on the
+        # joint covariance's rank structure.  The joint NLPD below is the reference
+        # metric, but its 2048-dim logdet under pivoted-Cholesky rank truncation can
+        # swing by nats on a numerically singular predictive covariance (measured:
+        # joint −2.5 with per-point z²-mean 23 at one collapsed-basin hyper set —
+        # _diag_nlpd.py), so quality decisions should read nll_marginal.
+        _var = pred.variance
+        _z2 = (pred.mean - test_y) ** 2 / _var
+        nll_marginal = float(jnp.mean(0.5 * (jnp.log(2 * jnp.pi * _var) + _z2)))
+        _t(f"eval marginal nlpd: {nll_marginal:.4f}")
         # the NLPD is a 2048-dim marginal log_prob; its covariance (K_tt − LOVE root) is
         # numerically rank-deficient — the rank-truncation guard in pivoted_cholesky
         # handles it on TPU (regression: tests/test_linop_coverage.py).  Preconditioned
@@ -467,6 +477,7 @@ def main():
         print(json.dumps({
             "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
             "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4),
+            "nll_marginal": round(nll_marginal, 4),
             "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
             "cg_iters_timed": cg_iters_timed, "mean_s_per_iter": round(mean_s_per_iter, 4),
             "noise": round(float(jnp.ravel(fin.likelihood.noise)[0]), 5),
@@ -504,6 +515,7 @@ def main():
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
                 "rmse": round(rmse, 4),
                 "nll": round(nll, 4),
+                "nll_marginal": round(nll_marginal, 4),
                 "mfu_pct": round(mfu_pct, 2),
                 "cg_iters": cg_iters_measured,
                 "cg_iters_timed": cg_iters_timed,
