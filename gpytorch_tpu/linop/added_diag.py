@@ -34,6 +34,17 @@ class AddedDiagLinearOperator(LinearOperator):
     def _diagonal(self):
         return self.base._diagonal() + self.diag_op._diagonal()
 
+    def _eig_lower_bound(self):
+        # AddedDiag's contract (here and in the reference) is PSD base + noise diagonal,
+        # so λ_min ≥ λ_min(base) + min(diag) ≥ min(diag) by Weyl.  This is what lets the
+        # Lanczos inverse root floor its Ritz values at σ² instead of amplifying f32
+        # Rayleigh–Ritz noise into 1/√(1e-8) spikes (see LinearOperator._eig_lower_bound).
+        base_bound = self.base._eig_lower_bound()
+        diag_bound = self.diag_op._eig_lower_bound()
+        if base_bound is None:
+            return diag_bound
+        return base_bound + diag_bound
+
     def to_dense(self):
         return self.base.to_dense() + self.diag_op.to_dense()
 

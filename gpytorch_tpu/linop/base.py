@@ -222,6 +222,21 @@ class LinearOperator(DictPyTree):
         """Return (apply_fn, precond_root_linop, precond_logdet) or (None, None, None)."""
         return None, None, None
 
+    def _eig_lower_bound(self) -> Optional[Array]:
+        """A known lower bound on the operator's eigenvalues (or ``None`` if unknown).
+
+        Used by the Lanczos/Rayleigh–Ritz root decompositions to floor the Ritz values:
+        at N=100k with ‖K̂‖ ~ 1e4–1e5, f32 Rayleigh–Ritz noise (~matvec_err · λ_max) is
+        larger than the true λ_min = σ² (~1e-2), so the smallest Ritz values of
+        T = QᵀK̂Q are pure rounding noise — tiny or negative.  In the INVERSE root these
+        become 1/√λ spikes of ~1e4 that make LOVE predictive variances go negative
+        (measured on-chip: marginal NLPD 5020 vs −0.2 at near-identical hypers).  An
+        operator that knows its spectrum's floor (K + σ²I ⇒ σ²) declares it here and the
+        Ritz values are clamped to it — the exact-arithmetic Cauchy-interlacing bound.
+        Shape: scalar or (*batch,), broadcastable against the Ritz values' batch shape.
+        """
+        return None
+
     #: Mesh-axis name when this operator's rows are sharded over a device mesh (set by
     #: distributed.ShardedKernelLinearOperator); None for single-device operators.
     shard_axis_name = None

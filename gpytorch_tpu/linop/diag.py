@@ -22,6 +22,9 @@ class DiagLinearOperator(LinearOperator):
     def _diag_values(self) -> Array:
         return self.diag
 
+    def _eig_lower_bound(self) -> Array:
+        return jnp.min(self.diag, axis=-1)  # eigenvalues ARE the diagonal
+
     def _shape(self):
         return self.diag.shape + (self.diag.shape[-1],)
 

@@ -163,6 +163,17 @@ def _ritz_root(linop, max_rank: int, initial_vectors, eig_floor: float, inverse:
     Q, T = block_lanczos_ritz(lambda v: linop._matmul(v), init, m)
     lam, V = jnp.linalg.eigh(T)  # ascending
     lam = jnp.maximum(lam[..., -max_rank:], eig_floor)
+    # Floor the Ritz values at the operator's declared spectral lower bound (σ² for
+    # K + σ²I).  At N=100k, ‖K̂‖ ~ 1e4-1e5 makes the f32 Rayleigh-Ritz noise in T
+    # (~matvec_err · λ_max) larger than λ_min = σ² ~ 1e-2: the smallest Ritz values come
+    # out tiny or negative, and the eig_floor alone turns them into 1/√(1e-8) ≈ 1e4
+    # spikes in the INVERSE root — LOVE predictive variances go negative and the
+    # min_variance clamp explodes the marginal NLPD (measured on-chip: 5020 vs −0.2 at
+    # near-identical hypers).  Cauchy interlacing guarantees λ(QᵀAQ) ≥ λ_min(A) in exact
+    # arithmetic, so the clamp is bit-neutral on healthy spectra.
+    bound = linop._eig_lower_bound()
+    if bound is not None:
+        lam = jnp.maximum(lam, jax.lax.stop_gradient(jnp.asarray(bound, lam.dtype))[..., None])
     V = V[..., -max_rank:]
     scale = 1.0 / jnp.sqrt(lam) if inverse else jnp.sqrt(lam)
     return Q @ (V * scale[..., None, :])

@@ -122,3 +122,67 @@ def test_ritz_eigenvalues_bounded_by_spectrum():
     # basis stayed orthonormal under f32 re-orthogonalization
     I = Q.T @ Q
     np.testing.assert_allclose(np.asarray(I), np.eye(I.shape[0]), atol=1e-4)
+
+
+class _NoisyMatvecOperator(DenseLinearOperator):
+    """Dense SPD operator whose matvec injects a deterministic perturbation — a stand-in
+    for the f32 Rayleigh–Ritz noise of the N=100k fused matvec (error ~ matvec_err·λ_max,
+    larger than λ_min = σ²), which drives Ritz values below the true spectral floor."""
+
+    def __init__(self, a, noise_scale):
+        super().__init__(a)
+        self.noise_scale = jnp.asarray(noise_scale)
+
+    def _matmul(self, rhs):
+        out = super()._matmul(rhs)
+        n = out.shape[-2]
+        pert = jnp.sin(jnp.arange(n, dtype=out.dtype) * 2.39996)[..., :, None]
+        return out + self.noise_scale * pert * jnp.sign(rhs)
+
+
+def test_inv_root_ritz_floor_kills_rounding_spikes():
+    """Spurious below-λ_min Ritz values must not become 1/√(eig_floor) spikes in the
+    inverse root when the operator declares its spectral lower bound (regression for the
+    on-chip marginal-NLPD 5020 eval cliff at N=100k)."""
+    from gpytorch_tpu.linop import AddedDiagLinearOperator, ConstantDiagLinearOperator
+
+    n, sigma2 = 60, 1e-2
+    A = _spd(jax.random.PRNGKey(3), n, cond=1e4)
+    noisy = _NoisyMatvecOperator(A + sigma2 * jnp.eye(n), noise_scale=5e-2)
+    assert noisy._eig_lower_bound() is None
+    # without a declared bound the spikes are possible (this operator measurably
+    # produces Ritz values ≤ 0 under the perturbation — assert the setup is meaningful)
+    wrapped = AddedDiagLinearOperator(
+        _NoisyMatvecOperator(A, noise_scale=5e-2),
+        ConstantDiagLinearOperator(jnp.asarray([sigma2]), n),
+    )
+    bound = wrapped._eig_lower_bound()
+    assert bound is not None and float(bound[0] if bound.ndim else bound) == sigma2
+    Ri = lanczos_inv_root(wrapped, max_rank=40)
+    # every column's norm is bounded by 1/√σ² = 10 when the floor holds (spikes would
+    # be ~1/√1e-8 = 1e4)
+    col_norms = jnp.linalg.norm(Ri, axis=-2)
+    assert float(jnp.max(col_norms)) < 3.0 / np.sqrt(sigma2), float(jnp.max(col_norms))
+
+
+def test_eig_lower_bound_algebra():
+    from gpytorch_tpu.linop import (
+        AddedDiagLinearOperator,
+        ConstantDiagLinearOperator,
+        DiagLinearOperator,
+        IdentityLinearOperator,
+    )
+
+    d = DiagLinearOperator(jnp.asarray([2.0, 5.0, 3.0]))
+    assert float(d._eig_lower_bound()) == 2.0
+    c = ConstantDiagLinearOperator(jnp.asarray([0.25]), 4)
+    assert float(c._eig_lower_bound()) == 0.25
+    assert float(IdentityLinearOperator(3)._eig_lower_bound()) == 1.0
+    # PSD base with unknown bound + σ²I → σ²
+    A = _spd(jax.random.PRNGKey(1), 8)
+    ad = AddedDiagLinearOperator(DenseLinearOperator(A), c.add_diagonal(jnp.asarray(0.0)))
+    b = ad._eig_lower_bound()
+    assert b is not None and abs(float(jnp.ravel(b)[0]) - 0.25) < 1e-7
+    # stacked diagonals accumulate
+    ad2 = AddedDiagLinearOperator(ad, DiagLinearOperator(jnp.full((8,), 0.5)))
+    assert abs(float(jnp.ravel(ad2._eig_lower_bound())[0]) - 0.75) < 1e-7
