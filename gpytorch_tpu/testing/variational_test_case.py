@@ -322,6 +322,36 @@ class VariationalTestCase(BaseTestCase):
         assert bool(jnp.all(jnp.isfinite(out.mean)))
         assert bool(jnp.all(out.variance >= -1e-5))
 
+    # -- call-count cache contract (reference variational_test_case.py:268-299 asserts
+    # cholesky/CG invocation counts via mock contexts) ----------------------------------------
+    #: exact psd_safe_cholesky count for ONE ELBO evaluation, when the strategy pins it
+    #: (whitened strategies factor K_ZZ exactly once); None = assert boundedness only
+    expected_cholesky_per_elbo = None
+
+    def test_elbo_call_count_contract(self):
+        """One ELBO evaluation has a FIXED linalg-call budget: identical repeat calls cost
+        identical counts (a regression that rebuilds a cache per call fails the equality),
+        and the per-call Cholesky count is the strategy's documented budget (or ≤ 4 when
+        unpinned — a loop that re-factors K_ZZ per data point blows far past that)."""
+        x, y = self.create_data()
+        model = self.create_model()
+        lik = GaussianLikelihood()
+        _ = model(x[:4])  # eager variational init (outside the counted region)
+        mll = VariationalELBO(lik, model, num_data=y.shape[0])
+        with settings.count_linalg_calls() as c1:
+            _ = mll(model(x), y)
+        with settings.count_linalg_calls() as c2:
+            _ = mll(model(x), y)
+        assert dict(c1) == dict(c2), (dict(c1), dict(c2))
+        n_chol = c1.get("psd_safe_cholesky", 0)
+        if self.expected_cholesky_per_elbo is not None:
+            assert n_chol == self.expected_cholesky_per_elbo, (n_chol, dict(c1))
+        else:
+            # natural-parameterization distributions legitimately factor up to 5× per
+            # ELBO (θ → (μ, L) conversions on top of the K_ZZ factor); anything past 6
+            # means a per-data-point refactor loop
+            assert n_chol <= 6, (n_chol, dict(c1))
+
     def test_kl_nonnegative(self):
         x, _ = self.create_data()
         model = self.create_model()

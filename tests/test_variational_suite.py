@@ -27,6 +27,7 @@ from gpytorch_tpu.variational import (
 class TestWhitenedCholesky(VariationalTestCase):
     strategy_cls = VariationalStrategy
     distribution_cls = CholeskyVariationalDistribution
+    expected_cholesky_per_elbo = 1  # K_ZZ factored exactly once per forward
 
 
 class TestWhitenedMeanField(VariationalTestCase):
