@@ -6,27 +6,31 @@ plus test RMSE/NLL after a fixed Adam budget, and an MFU estimate.  The A100/KeO
 so the data is synthetic with the 3droad shape (d=3, standardized), and RMSE/NLL track the
 build's own quality across rounds.
 
-Flagship solver config (validated on-chip 2026-08-17, sweep9): mBCG with
-max_cg_iterations=100 + stagnation early exit (window 5), 31 SLQ probes (fresh key per
-step; free — the fused matvec is flat in rhs columns up to 128), 5 Lanczos tridiag
-iterations, rank-50 tau-regularized pivoted-Cholesky preconditioner (noise budget 1e-3),
-"high" (3-pass bf16 hi/lo, ~1e-5 err) K·V tiles for training, HIGHEST for eval, noise
-floor 1.5e-2 (just under the true σ²≈1.7e-2), 120 Adam steps: 0.621 s/iter (timed
-window), RMSE 0.1792, NLL -0.42.  One-pass bf16 training tiles stall CG at ~5e-3 relative
-residual, which biases the inv-quad term and collapses the noise under a long Adam budget
-(NLL 2.8-5.9 at 120 steps); accurate-tile training converges the noise toward truth
-instead.  The RMSE is AT the measured 0.18 oracle noise floor of this synthetic problem.
-Basin robustness (the r1 VERDICT ask): the 2026-08-17 sweeps landed 10/11 perturbations
-(precision mode high/highest, probes 31/32, noise floor on/off, stall 3/5, maxiter
-30/50/100) at RMSE 0.179±0.001 with NLL in [-1.14, -0.08] — the lottery now re-rolls NLL
-depth, not correctness.  On-chip 2026-08-18: default config 0.647 s/iter, RMSE 0.1791,
-NLL -0.48 (preconditioned NLPD now default).  BENCH_WARM=1 measured 0.571 s/iter /
-cg_iters 4 but NLL regressed to 0.92 (noise pinned at the floor — the windowed-frozen
-probes bias the logdet gradient at N=100k), so warm solves stay opt-in; the 4-iter
-timed window also shows ~0.45 s/step is iteration-INDEPENDENT (preconditioner build /
-backward / probe sampling — see _prof_fixed.py), which is where the next speedup lives.  The one remaining cliff is preconditioner rank: rank 100
-re-rolls into a collapsed basin (RMSE 0.94), so change BENCH_PC_RANK only with a quality
-re-measurement (BENCH_* env overrides exist for exactly that).
+Flagship solver config (DEFAULT since 2026-08-19, on-chip validated): **rhs-only
+warm-started mBCG with cosine-decay Adam** — the rhs solve column carries across steps
+(fresh probes every step, forward logdet kept), probe solves floored at NTRI=10
+iterations, precond_logdet_vr ON (the probe-truncation error lands on the small
+variance-reduced residual), 31 SLQ probes (fresh key per step; free — the fused matvec
+is flat in rhs columns up to 128), rank-50 tau-regularized pivoted-Cholesky
+preconditioner (noise budget 1e-3), "high" (3-pass bf16 hi/lo, ~1e-5 err) K·V tiles for
+training, HIGHEST for eval, noise floor 1.5e-2 (just under the true σ²≈1.7e-2), 120
+Adam steps cosine-decayed 0.1→0.01.  Measured (2026-08-19, seeds 2/3): **0.605 s/iter
+flat (mean = median; every step runs exactly 10 CG iterations)**, RMSE 0.1791 (both
+seeds — identical to the cold control), joint NLL −0.19/−0.54, marginal NLPD
+−0.13/−0.20 (cold control −0.199), noise 0.016/0.019 (true ≈ 0.017).  That is 2.95×
+the cold mean (1.784 s/iter at 37 late-training iters) at equal quality.  Accounting
+(closed; _prof_accounting.py fit 194 ms fixed + 35.9 ms/iter R²=0.95 cold, component
+split in _prof_fixed2.py): 10 matvecs ≈ 280 ms + precond applies ≈ 50 ms + P build
+9 ms + probes 3 ms + SLQ/misc ≈ 90 ms + fused BBMM backward 113 ms + VR P-rebuild
+50 ms.  Guard rails, each measured: NTRI=5 collapses the noise hyper (2.32, RMSE 0.29 —
+probe solves too truncated even with VR); flat LR re-rolls terminal hypers per seed
+(RMSE up to 0.188, noise pinned at the floor); one-pass bf16 training tiles stall CG at
+~5e-3 residual and collapse the noise (NLL 2.8-5.9); cbf16 single-pass tiles converge
+CG (0.44 s/iter) but training on the perturbed operator drifts to a long-lengthscale
+basin (RMSE 0.64); preconditioner rank 100 re-rolls into a collapsed basin (RMSE 0.94);
+probes=63 landed stuck-high-noise basins on 2/3 seeds under flat LR.  Change BENCH_*
+knobs only with a quality re-measurement.  BENCH_WARM=0 restores the cold
+configuration; BENCH_WARM=1 is the windowed full-width warm mode (needs skip_logdet).
 
 Prints ONE JSON line: {"metric", "value" (s/iter, lower better), "unit", "vs_baseline",
 "rmse", "nll", "mfu_pct"}.  ``vs_baseline`` = speedup of the fused-Pallas step over the
@@ -65,27 +69,43 @@ def _sync(x):
     return float(jnp.sum(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), x, 0.0)))
 
 
+def _warm_default():
+    # Flagship default (on-chip validated 2026-08-19): rhs-only warm-started mBCG.
+    # BENCH_WARM=0 re-runs the cold-solve configuration.
+    return os.environ.get("BENCH_WARM", "rhs")
+
+
 def _solver_ctx(gp, use_pallas=True, bf16=True):
     import os
 
+    _wm = _warm_default()
     st = contextlib.ExitStack()
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(int(os.environ.get("BENCH_MAXITER", "100"))))
     st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "31"))))
+    # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
+    # rhs-warm mode = ALSO the probe-solve iteration floor, where 10 is the validated
+    # quality knee (5 collapses the noise hyper: probe solves too truncated for the
+    # logdet gradient even with VR; 20 costs 0.97 s/step for no quality gain)
+    _ntri_default = "10" if _wm == "rhs" else "5"
     st.enter_context(
-        gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", "5")))
+        gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", _ntri_default)))
     )
     st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "50"))))
     st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "5"))))
-    st.enter_context(gp.settings.precond_logdet_vr(os.environ.get("BENCH_VR", "0") == "1"))
+    # VR logdet gradient is ON by default with rhs-warm solves: it confines the probe
+    # truncation error to the small variance-reduced residual term (costs ~50 ms/step
+    # for the differentiable P rebuild in the backward)
+    _vr_default = "1" if _wm == "rhs" else "0"
+    st.enter_context(gp.settings.precond_logdet_vr(os.environ.get("BENCH_VR", _vr_default) == "1"))
     st.enter_context(
         gp.settings.preconditioner_noise_budget(float(os.environ.get("BENCH_BUDGET", "1e-3")))
     )
     # BENCH_WARM: "1" = full-width windowed warm state (skip_logdet + windowed keys);
     # "rhs" = rhs-only warm state (fresh probes each step, forward logdet kept, probe
     # solves truncated at the warm-rhs iteration count; pair with BENCH_VR=1)
-    _warm_mode = os.environ.get("BENCH_WARM", "0")
+    _warm_mode = _warm_default()
     _warm = _warm_mode == "1"
     st.enter_context(
         gp.settings.skip_logdet_forward(
@@ -187,16 +207,18 @@ def main():
     model.covar_module.base_kernel.lengthscale = 0.5
     params = model.trainable_params()
 
-    _warm_mode = _osf.environ.get("BENCH_WARM", "0")
+    _warm_mode = _warm_default()
     _warm = _warm_mode == "1"
     _warm_rhs = _warm_mode == "rhs"
 
     _total_steps = int(os.environ.get("BENCH_STEPS", "120"))
-    # BENCH_LR=cosine: cosine-decay Adam (0.1 → 0.01 over the budget).  The flat-0.1
-    # schedule leaves the terminal hypers at the mercy of the last few noisy SLQ
-    # gradients — the measured NLL "basin lottery".  Decaying the step size anneals
-    # that trajectory noise away instead of freezing it into the final iterate.
-    _lr_mode = os.environ.get("BENCH_LR", "const")
+    # Cosine-decay Adam (0.1 → 0.01 over the budget; BENCH_LR=const for flat 0.1).
+    # The flat-0.1 schedule leaves the terminal hypers at the mercy of the last few
+    # noisy SLQ gradients — the measured NLL "basin lottery".  Decaying the step size
+    # anneals that trajectory noise away instead of freezing it into the final iterate
+    # (on-chip 2026-08-19: cosine+rhs-warm reproduces the cold RMSE 0.1791 exactly
+    # across seeds with the noise hyper pulled off its constraint floor).
+    _lr_mode = os.environ.get("BENCH_LR", "cosine")
 
     def make_step(use_pallas: bool, tx, ty):
         if _lr_mode == "cosine":
@@ -433,7 +455,7 @@ def main():
             apply_P, _, _ = covar._preconditioner()
             rhs = jax.random.normal(jax.random.PRNGKey(9), (N, t_cols), dtype=jnp.float32)
             _ntri = 0 if (_warm or _os.environ.get("BENCH_SKIP_LOGDET", "0") == "1") else int(
-                _os.environ.get("BENCH_NTRI", "5")
+                _os.environ.get("BENCH_NTRI", "10" if _warm_rhs else "5")
             )
             res = linear_cg(
                 lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
