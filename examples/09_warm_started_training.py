@@ -5,8 +5,12 @@ Large-N exact-GP training is iteration-bound: each Adam step's mBCG solve costs
 hyperparameters slowly, CG restarted from the previous step's solutions converges in a
 fraction of the iterations.
 
-This example teaches the RECOMMENDED recipe — **rhs-only warm starts** (on-chip
-validated at N=100k: RMSE 0.1802 / NLL −1.09 at 0.55x the cold step cost):
+This example teaches the RECOMMENDED recipe — **rhs-only warm starts** (the bench
+default; on-chip validated at N=100k, 2026-08-19: every step runs exactly 10 CG
+iterations at 0.605 s/step flat vs the 1.784 s/step cold mean — 2.95x — with RMSE
+0.1791 on both validation seeds, identical to the cold control, and marginal NLPD
+−0.13/−0.20 vs cold −0.199; pair it with a cosine-decayed learning rate, which is what
+keeps the terminal hypers off the constraint floor):
 
   * the solver state carries ONLY the rhs solve column(s), shape ``(n, 1)`` — the state
     width itself selects the mode (see solvers/inv_quad.py);

@@ -3,15 +3,23 @@
 Two validated disciplines for warm-started solves
 (``mll(output, y, key=k, solver_state=st, return_state=True)``; solvers/inv_quad.py):
 
-**rhs-only (recommended; on-chip validated at N=100k, 2026-08-18)** — state carries just
-the rhs solve columns (shape ``(n, num_rhs)``); probe vectors are drawn FRESH every step
-(plain fresh-key chain, no windows, no resets) with a zero initial guess, so the SLQ
-tridiagonals stay valid and there is no frozen-probe bias.  Only the rhs columns gate CG
-convergence — probe solves are truncated at the ``max_lanczos_quadrature_iterations``
-floor, which with ``settings.precond_logdet_vr(True)`` perturbs only the small
-variance-reduced residual of the logdet gradient.  Measured flagship recipe
-(NTRI=20, VR on): RMSE 0.1802 / NLL −1.09 at 0.55× the cold-solve step cost; see
-:func:`rhs_warm_context` and ``BENCH_WARM=rhs`` in bench.py.
+**rhs-only (recommended; the bench default, on-chip validated at N=100k, 2026-08-19)** —
+state carries just the rhs solve columns (shape ``(n, num_rhs)``); probe vectors are
+drawn FRESH every step (plain fresh-key chain, no windows, no resets) with a zero
+initial guess, so the SLQ tridiagonals stay valid and there is no frozen-probe bias.
+Only the rhs columns gate CG convergence — probe solves are truncated at the
+``max_lanczos_quadrature_iterations`` floor, which with
+``settings.precond_logdet_vr(True)`` perturbs only the small variance-reduced residual
+of the logdet gradient.  Measured flagship recipe (probe floor 10, VR on, Adam with a
+cosine-decayed learning rate): every step runs exactly 10 CG iterations, 0.605 s/step
+flat vs the 1.784 s/step cold mean (2.95×), with RMSE 0.1791 on both validation seeds —
+identical to the cold control — and marginal NLPD −0.13/−0.20 vs cold −0.199.  Two
+measured requirements: (a) a probe floor of 10 — at 5 the truncated probe solves
+mis-estimate the logdet gradient badly enough to collapse the noise hyperparameter
+(noise 2.32, RMSE 0.29) even with VR; (b) a DECAYING learning rate — under flat Adam
+0.1 the terminal hypers inherit the last noisy gradients and re-roll per seed (RMSE up
+to 0.188, noise pinned at its constraint floor).  See :func:`rhs_warm_context` and
+``BENCH_WARM=rhs`` in bench.py.
 
 **windowed full-width** (:class:`WarmStartSchedule`) — state carries all columns:
 
@@ -43,13 +51,17 @@ import jax.numpy as jnp
 from .. import settings
 
 
-def rhs_warm_context(probe_iters: int = 20):
+def rhs_warm_context(probe_iters: int = 10):
     """Settings context for the rhs-only warm recipe (flagship-validated knobs).
 
     Enters ``precond_logdet_vr`` (confines the probe-truncation error to the small
     variance-reduced residual term) and sets ``max_lanczos_quadrature_iterations`` to
     ``probe_iters`` — the per-step CG iteration floor, i.e. the probe-solve budget.
-    Use with a state of shape ``(n, num_rhs)`` and a fresh key per step::
+    The default 10 is the measured quality knee at N=100k (5 collapses the noise
+    hyperparameter; 20 costs 1.6× for no quality gain).  Pair with a DECAYING
+    learning-rate schedule (e.g. ``optax.adam(optax.cosine_decay_schedule(...))``) —
+    see the module docstring for why.  Use with a state of shape ``(n, num_rhs)`` and
+    a fresh key per step::
 
         state = jnp.zeros((n, 1), jnp.float32)
         with rhs_warm_context():
