@@ -119,6 +119,41 @@ def test_metrics_values():
     assert 0.0 <= qce <= 1.0
 
 
+def test_joint_nlpd_exact_cholesky_is_deterministic():
+    """The bench's joint-NLPD estimator (fast_pred_var posterior under a large
+    max_cholesky_size) must dispatch to a dense exact Cholesky log_prob: bit-identical
+    across calls (no probe-key dependence) and consistent with the stochastic mBCG path."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (200, 3))
+    y = jnp.sin(3.0 * x.sum(-1)) + 0.1 * jax.random.normal(key, (200,))
+    tx = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    ty = jnp.sin(3.0 * tx.sum(-1))
+
+    class _M(ExactGP):
+        def __init__(self, x, y, lik):
+            super().__init__(x, y, lik)
+            self.mean_module = ConstantMean()
+            self.covar_module = ScaleKernel(RBFKernel(ard_num_dims=3))
+
+        def forward(self, x):
+            return MultivariateNormal(self.mean_module(x), self.covar_module(x))
+
+    m = _M(x, y, GaussianLikelihood()).eval()
+
+    def _nll(exact: bool) -> float:
+        with gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(50):
+            pred = m.likelihood(m(tx))
+            if exact:
+                with gp.settings.max_cholesky_size(4096):
+                    return float(negative_log_predictive_density(pred, ty))
+            with gp.settings.max_cholesky_size(0), gp.settings.max_preconditioner_size(50):
+                return float(negative_log_predictive_density(pred, ty))
+
+    a, b = _nll(exact=True), _nll(exact=True)
+    assert a == b  # dense Cholesky path: no estimator randomness
+    assert abs(a - _nll(exact=False)) < 5e-2  # stochastic path agrees at this size
+
+
 # ----------------------------------------------------------------------------- settings
 def test_settings_context_semantics():
     assert gp.settings.max_cg_iterations.value() == 1000
