@@ -373,17 +373,29 @@ def main():
         _z2 = (pred.mean - test_y) ** 2 / _var
         nll_marginal = float(jnp.mean(0.5 * (jnp.log(2 * jnp.pi * _var) + _z2)))
         _t(f"eval marginal nlpd: {nll_marginal:.4f}")
-        # Joint NLPD: at 2048 test points the predictive covariance fits a dense exact
-        # Cholesky log_prob (8.6 GFLOP) — deterministic, no mBCG/SLQ estimator noise.
-        # The stochastic path's 2048-dim logdet under pivoted-Cholesky rank truncation
-        # swings by nats on the numerically rank-deficient K_tt − LOVE-root covariance
-        # (measured: joint −1.17 with marginal +0.12 at one seed — 2026-08-19 sweep),
-        # and the likelihood's σ² ≈ 1.7e-2 diagonal makes the dense factorization
-        # well-conditioned.  BENCH_NLL_EXACT=0 restores the stochastic preconditioned
-        # path (with the BENCH_NLL_PC rank knob) for solver-path regression checks.
+        # Joint NLPD: deterministic dense path on the EXACT posterior covariance.
+        # Neither rank structure survives a naive dense Cholesky at this scale: the joint
+        # covariance is a near-complete cancellation (K_tt spectrum ~1e3 vs posterior
+        # ~σ²=1.7e-2), so the LOVE rank-100 covariance is wildly indefinite (measured
+        # on-chip 2026-08-19: eig range [−3.34, 1.90], 20 negative) and even the exact
+        # Schur complement at CG tol 1e-3 carries O(0.1) eigenvalue noise ([−0.34, 0.23]).
+        # Recipe: fresh caches with fast_pred_var OFF (one batched 2048-column mBCG
+        # solve, ~25 s on-chip) at a tightened CG tolerance, then an eigendecomposition
+        # log_prob with eigenvalues floored at the terminal likelihood noise — the exact
+        # spectrum's provable lower bound (metrics.negative_log_predictive_density).
+        # Deterministic: no SLQ probes anywhere in this leg.  BENCH_NLL_EXACT=0 restores
+        # the stochastic mBCG path (BENCH_NLL_PC rank knob) for solver regression checks.
         if _os.environ.get("BENCH_NLL_EXACT", "1") == "1":
-            with gp.settings.max_cholesky_size(4096):
-                nll = float(negative_log_predictive_density(pred, test_y))
+            _nll_tol = float(_os.environ.get("BENCH_NLL_TOL", "1e-4"))
+            _noise_term = float(jnp.ravel(final.likelihood.noise)[0])
+            fexact = model.with_params(p)
+            fexact.train_inputs = (train_x,)
+            fexact.train_targets = train_y
+            fexact = fexact.eval()
+            with gp.settings.fast_pred_var(False), gp.settings.eval_cg_tolerance(_nll_tol):
+                pred_exact = fexact.likelihood(fexact(test_x))
+                nll = float(negative_log_predictive_density(
+                    pred_exact, test_y, eig_floor=_noise_term))
         else:
             _nll_pc = int(_os.environ.get("BENCH_NLL_PC", "50"))
             with gp.settings.max_preconditioner_size(_nll_pc):

@@ -14,6 +14,7 @@ from gpytorch_tpu.constraints import GreaterThan, Interval, LessThan, Positive
 from gpytorch_tpu.distributions import MultitaskMultivariateNormal, MultivariateNormal
 from gpytorch_tpu.kernels import MultitaskKernel, RBFKernel, ScaleKernel, SpectralMixtureKernel
 from gpytorch_tpu.likelihoods import GaussianLikelihood, MultitaskGaussianLikelihood
+from gpytorch_tpu.linop import DenseLinearOperator
 from gpytorch_tpu.means import ConstantMean, MultitaskMean
 from gpytorch_tpu.metrics import (
     mean_absolute_error,
@@ -152,6 +153,47 @@ def test_joint_nlpd_exact_cholesky_is_deterministic():
     a, b = _nll(exact=True), _nll(exact=True)
     assert a == b  # dense Cholesky path: no estimator randomness
     assert abs(a - _nll(exact=False)) < 5e-2  # stochastic path agrees at this size
+
+    # eig_floor path (the bench's on-chip joint-NLPD recipe): on a well-conditioned
+    # exact-covar posterior it must agree with the dense Cholesky value, and stay
+    # deterministic.  Floor = likelihood noise = the exact spectrum's lower bound.
+    with gp.settings.fast_pred_var(False), gp.settings.max_cholesky_size(4096):
+        pred = m.likelihood(m(tx))
+        noise = float(jnp.ravel(m.likelihood.noise)[0])
+        c = float(negative_log_predictive_density(pred, ty))
+        e1 = float(negative_log_predictive_density(pred, ty, eig_floor=1e-4 * noise))
+        e2 = float(negative_log_predictive_density(pred, ty, eig_floor=1e-4 * noise))
+    assert e1 == e2
+    np.testing.assert_allclose(e1, c, rtol=1e-3, atol=1e-3)
+
+
+def test_nlpd_eig_floor_repairs_indefinite_covariance():
+    """A joint covariance computed by subtraction can be numerically indefinite at scale
+    (measured on-chip at N=100k: LOVE rank-100 eig range [−3.34, 1.90]); the eig_floor
+    path must return a finite value equal to the log density of the PSD-projected
+    (eigenvalue-clamped) matrix, where the Cholesky path NaNs."""
+    key = jax.random.PRNGKey(3)
+    n = 32
+    A = jax.random.normal(key, (n, n)) / jnp.sqrt(n)
+    cov = A @ A.T + 0.05 * jnp.eye(n)
+    w0, V0 = jnp.linalg.eigh(cov)
+    w_bad = w0.at[0].set(-0.5)  # one large spurious negative eigenvalue
+    cov_bad = (V0 * w_bad) @ V0.T
+    mean = jnp.zeros(n)
+    y = jax.random.normal(jax.random.PRNGKey(4), (n,))
+    pred = MultivariateNormal(mean, DenseLinearOperator(cov_bad))
+    floor = 0.05
+    with gp.settings.max_cholesky_size(4096), gp.settings.cholesky_max_tries(2):
+        nll_chol = float(negative_log_predictive_density(pred, y))
+    assert not np.isfinite(nll_chol)  # jitter escalation cannot reach min-eig 0.5
+    val = float(negative_log_predictive_density(pred, y, eig_floor=floor))
+    assert np.isfinite(val)
+    w_fix = jnp.maximum(jnp.linalg.eigh(0.5 * (cov_bad + cov_bad.T))[0], floor)
+    V_fix = jnp.linalg.eigh(0.5 * (cov_bad + cov_bad.T))[1]
+    proj = V_fix.T @ y
+    lp = -0.5 * (float(jnp.sum(proj**2 / w_fix)) + float(jnp.sum(jnp.log(w_fix)))
+                 + n * np.log(2 * np.pi))
+    np.testing.assert_allclose(val, -lp / n, rtol=1e-5)
 
 
 # ----------------------------------------------------------------------------- settings
