@@ -392,10 +392,17 @@ def main():
             fexact.train_inputs = (train_x,)
             fexact.train_targets = train_y
             fexact = fexact.eval()
-            with gp.settings.fast_pred_var(False), gp.settings.eval_cg_tolerance(_nll_tol):
-                pred_exact = fexact.likelihood(fexact(test_x))
-                nll = float(negative_log_predictive_density(
-                    pred_exact, test_y, eig_floor=_noise_term))
+            # This leg is ~25 s of uninterrupted device work (a 2048-column mBCG solve);
+            # a TPU-worker fault here must not discard the whole run's training
+            # measurements — degrade to nll=NaN and keep nll_marginal/rmse/s_per_iter.
+            try:
+                with gp.settings.fast_pred_var(False), gp.settings.eval_cg_tolerance(_nll_tol):
+                    pred_exact = fexact.likelihood(fexact(test_x))
+                    nll = float(negative_log_predictive_density(
+                        pred_exact, test_y, eig_floor=_noise_term))
+            except Exception as e:
+                _t(f"joint-NLL leg failed ({type(e).__name__}): falling back to NaN")
+                nll = float("nan")
         else:
             _nll_pc = int(_os.environ.get("BENCH_NLL_PC", "50"))
             with gp.settings.max_preconditioner_size(_nll_pc):
@@ -524,7 +531,7 @@ def main():
         fin = model.with_params(p)
         print(json.dumps({
             "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
-            "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4),
+            "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4) if nll == nll else None,
             "nll_marginal": round(nll_marginal, 4),
             "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
             "cg_iters_timed": cg_iters_timed, "mean_s_per_iter": round(mean_s_per_iter, 4),
@@ -562,7 +569,7 @@ def main():
                 "unit": "s/iter",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
                 "rmse": round(rmse, 4),
-                "nll": round(nll, 4),
+                "nll": round(nll, 4) if nll == nll else None,
                 "nll_marginal": round(nll_marginal, 4),
                 "mfu_pct": round(mfu_pct, 2),
                 "cg_iters": cg_iters_measured,
