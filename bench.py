@@ -219,10 +219,14 @@ def main():
     # (on-chip 2026-08-19: cosine+rhs-warm reproduces the cold RMSE 0.1791 exactly
     # across seeds with the noise hyper pulled off its constraint floor).
     _lr_mode = os.environ.get("BENCH_LR", "cosine")
+    # Terminal LR fraction of the cosine schedule (lr ends at 0.1 * alpha).  The default
+    # 0.1 (end lr 0.01) is the validated config; smaller alphas anneal the last SLQ
+    # gradient noise harder — a candidate knob for the NLL-spread campaign.
+    _lr_alpha = float(os.environ.get("BENCH_LR_ALPHA", "0.1"))
 
     def make_step(use_pallas: bool, tx, ty):
         if _lr_mode == "cosine":
-            opt = optax.adam(optax.cosine_decay_schedule(0.1, _total_steps, alpha=0.1))
+            opt = optax.adam(optax.cosine_decay_schedule(0.1, _total_steps, alpha=_lr_alpha))
         else:
             opt = optax.adam(0.1)
 
@@ -312,9 +316,21 @@ def main():
     # the stagnation-exit speedup buys a bigger optimization budget than the reference
     # notebook's 25)
     _t_rest = time.time()
+    # BENCH_EMA > 0: exponential moving average of the raw hypers over the quality
+    # steps (device-side tree_map — no host syncs in the timed loop).  The terminal
+    # iterate carries the last few SLQ gradient kicks; the EMA iterate averages them
+    # out.  Evaluated INSTEAD of the last iterate when enabled.
+    _ema_decay = float(os.environ.get("BENCH_EMA", "0"))
+    p_ema = p
     for _ in range(_total_steps - 9):
         p, s, loss, solver_st = step(p, s, _next_key(), solver_st)
+        if _ema_decay > 0:
+            p_ema = jax.tree_util.tree_map(
+                lambda e, q: _ema_decay * e + (1.0 - _ema_decay) * q, p_ema, p
+            )
     _sync(loss)
+    if _ema_decay > 0:
+        p = p_ema
     # mean over the whole run: late steps run more CG iterations than the timed window
     # (the system hardens as the noise converges), so this is the honest amortized cost
     # steps counted: 8 timed + (_total_steps - 9) quality steps; the compile step is excluded
@@ -456,6 +472,16 @@ def main():
             t0 = time.time()
             _sync(var_fn())
             love["love_var_cached_s"] = round(time.time() - t0, 4)
+            # Amortized cached latency: the single-call number above pays one axon-tunnel
+            # round trip (~25 ms, _prof_rtt.py) per call — a measurement artifact of this
+            # tunneled dev setup, not of the compiled program (a local deployment pays
+            # ~µs dispatch, as the reference's CUDA notebook did).  Chain 10 dispatches
+            # with ONE final sync for the device-side per-call cost.
+            t0 = time.time()
+            for _ in range(9):
+                var_fn()
+            _sync(var_fn())
+            love["love_var_cached_amortized_s"] = round((time.time() - t0) / 10, 4)
             with gp.settings.fast_pred_samples(True):
                 _sync(fresh(test_x).rsample(jax.random.PRNGKey(11), (16,)))  # warm cache
                 samp_fn = jax.jit(lambda k: fresh(test_x).rsample(k, (16,)))
@@ -463,6 +489,11 @@ def main():
                 t0 = time.time()
                 _sync(samp_fn(jax.random.PRNGKey(13)))
                 love["love_samp_cached_s"] = round(time.time() - t0, 4)
+                t0 = time.time()
+                for i in range(9):
+                    samp_fn(jax.random.PRNGKey(20 + i))
+                _sync(samp_fn(jax.random.PRNGKey(29)))
+                love["love_samp_cached_amortized_s"] = round((time.time() - t0) / 10, 4)
         _t(f"love latency: {love}")
     except Exception as e:  # keep the headline metric printing even if the anchor fails
         love = {"love_error": str(e)[:120]}

@@ -215,6 +215,23 @@ class precond_logdet_vr(_feature_flag):
     _default = False
 
 
+class fast_precond_grad(_feature_flag):
+    """Gradient of the pivoted-Cholesky preconditioner root via the fixed-pivot Nyström
+    form (value stays the scan-built factor through a stop-gradient straddle, so forward
+    numbers — probe streams, CG preconditioning, log|P| values — are bit-identical).
+
+    Partial pivoted Cholesky after k steps equals the Nyström approximation on its pivot
+    set, K[:,p] K[p,p]⁻¹ K[p,:], so for a fixed pivot order both parameterizations are the
+    same function of the kernel hyperparameters and their gradients agree to rounding.
+    The Nyström VJP is one k×k Cholesky + a (k, n) triangular solve instead of a reverse
+    sweep through the k-step scan carrying (n, k) residuals — measured ~40 ms/step cheaper
+    in the variance-reduced logdet backward (settings.precond_logdet_vr) at the N=100k
+    rank-50 flagship.  TPU-native extension; no reference analogue (torch autograd
+    differentiates the scan there)."""
+
+    _default = True
+
+
 class preconditioner_noise_budget(_value_context):
     """Relative accuracy budget of the preconditioner APPLY, used to τ-regularize P.
 
@@ -611,6 +628,7 @@ class SolverConfig:
     kernel_matvec_highest: bool = False
     kernel_matvec_high: bool = False
     kernel_matvec_consistent_bf16: bool = False
+    fast_precond_grad: bool = True
 
 
 def snapshot(dtype=None) -> SolverConfig:
@@ -639,4 +657,5 @@ def snapshot(dtype=None) -> SolverConfig:
         kernel_matvec_highest=bool(kernel_matvec_highest.on()),
         kernel_matvec_high=bool(kernel_matvec_high.on()),
         kernel_matvec_consistent_bf16=bool(kernel_matvec_consistent_bf16.on()),
+        fast_precond_grad=bool(fast_precond_grad.on()),
     )

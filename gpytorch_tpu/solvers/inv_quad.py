@@ -53,6 +53,7 @@ class _IQConfig:
     mv_highest: bool = False
     mv_high: bool = False
     mv_cbf16: bool = False
+    fast_pc_grad: bool = True
     # warm-started solves: CG starts from the caller-supplied previous solution
     warm: bool = False
     # rhs-only warm mode: state carries only the rhs columns; probes are FRESH each call
@@ -158,6 +159,7 @@ def inv_quad_logdet_mbcg(
         mv_highest=bool(getattr(sc, "kernel_matvec_highest", False)),
         mv_high=bool(getattr(sc, "kernel_matvec_high", False)),
         mv_cbf16=bool(getattr(sc, "kernel_matvec_consistent_bf16", False)),
+        fast_pc_grad=bool(getattr(sc, "fast_precond_grad", True)),
     )
     n = linop.shape[-1]
     if has_rhs:
@@ -385,7 +387,8 @@ def _mbcg_bwd(cfg, residuals, g):
             settings.preconditioner_highest_precision(cfg.pc_highest), \
             settings.use_pallas(cfg.use_pallas), settings.kernel_matvec_bf16(cfg.mv_bf16), \
             settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high), \
-            settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16):
+            settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16), \
+            settings.fast_precond_grad(cfg.fast_pc_grad):
         _, vjp = jax.vjp(scalar_fn, linop)
         # the cotangent application must ALSO run inside the with-block: nested custom-vjp
         # backwards (e.g. _fkm_bwd → _bwd_fused_pallas, which reads use_pallas and the

@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 
 
-def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8, rel_tol: float = 0.0) -> jax.Array:
+def pivoted_cholesky(
+    linop, rank: int, jitter: float = 1e-8, rel_tol: float = 0.0, return_pivots: bool = False
+) -> jax.Array:
     """Return L of shape (..., n, rank) with L Lᵀ ≈ linop (best rank-k pivoted approx).
 
     Inner-product precision follows ``settings.preconditioner_highest_precision``
@@ -83,8 +85,41 @@ def pivoted_cholesky(linop, rank: int, jitter: float = 1e-8, rel_tol: float = 0.
             jnp.moveaxis(L, -1, 0), col, m, axis=0
         )
         L_new = jnp.moveaxis(L_new, 0, -1)
-        return (d_new, L_new, m + 1), None
+        return (d_new, L_new, m + 1), pivot
 
     L0 = jnp.zeros(batch + (n, rank), dtype=dt)
-    (d, L, _), _ = jax.lax.scan(step, (diag, L0, jnp.asarray(0, jnp.int32)), None, length=rank)
+    (d, L, _), pivots = jax.lax.scan(step, (diag, L0, jnp.asarray(0, jnp.int32)), None, length=rank)
+    if return_pivots:
+        return L, jnp.moveaxis(pivots, 0, -1)  # (..., rank)
     return L
+
+
+def nystrom_factor_from_pivots(linop, pivots: jax.Array, jitter_rel: float = 1e-6) -> jax.Array:
+    """Differentiable rank-k root from a FIXED pivot set: L = K[:, piv] · R⁻ᵀ with
+    R = chol(K[piv, piv]), so L Lᵀ = K[:,piv] K[piv,piv]⁻¹ K[piv,:] — in exact arithmetic
+    the same matrix the pivoted-Cholesky scan produces for that pivot order (partial
+    Cholesky ≡ Nyström on the pivot set).
+
+    Purpose: a cheap reverse-mode path for the variance-reduced logdet gradient
+    (settings.precond_logdet_vr).  Differentiating the k-step `lax.scan` above costs a
+    sequential backward sweep carrying (n, k) residuals (~50 ms/step at the N=100k
+    flagship); this form is one k×k Cholesky + one (k, n) triangular solve — fully
+    parallel, with only the k kernel rows feeding the kernel-parameter VJP.  Pair as
+    ``value(scan) + grad(nystrom)`` via a stop-gradient straddle (linop/added_diag.py)
+    so forward values (probe streams, CG preconditioning) stay bit-identical.
+    """
+    from .cholesky import psd_safe_cholesky
+
+    k = pivots.shape[-1]
+    rows = linop._get_rows(pivots)  # (..., k, n)
+    # C[..., i, j] = rows[..., i, pivot_j]
+    idx = jnp.broadcast_to(pivots[..., None, :], pivots.shape[:-1] + (k, k))
+    C = jnp.take_along_axis(rows, idx, axis=-1)
+    C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
+    # relative jitter: C inherits the kernel's scale; the greedy pivot order keeps the
+    # leading minors well-conditioned, the jitter only guards truncated/repeated pivots
+    tr = jnp.trace(C, axis1=-2, axis2=-1) / k
+    eye = jnp.eye(k, dtype=C.dtype)
+    R = psd_safe_cholesky(C + (jitter_rel * tr)[..., None, None] * eye, max_tries=3)
+    Y = jax.scipy.linalg.solve_triangular(R, rows, lower=True)  # (..., k, n) = R⁻¹ K[piv, :]
+    return jnp.swapaxes(Y, -1, -2)  # (..., n, k)

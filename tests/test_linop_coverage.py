@@ -289,3 +289,43 @@ def test_pivoted_cholesky_healthy_matrix_unchanged_by_guard():
     resid = np.asarray(A - L @ L.T)
     # rank-16 approximation error of a smooth RBF matrix is tiny
     assert np.max(np.abs(resid - np.diag(np.diag(resid)))) < 0.12
+
+
+def test_fast_precond_grad_matches_scan_path():
+    """settings.fast_precond_grad (default ON): the preconditioner root's VALUE is
+    bit-identical to the legacy scan-differentiated path (stop-gradient straddle) and its
+    GRADIENT — the fixed-pivot Nyström parameterization, solvers/pivoted_cholesky.py::
+    nystrom_factor_from_pivots — agrees with differentiating the pivoted-Cholesky scan
+    (both are d/dθ of K[:,p] K[p,p]⁻¹ K[p,:] at fixed pivots)."""
+    key = jax.random.PRNGKey(0)
+    n, d, k = 300, 3, 25
+    x = jax.random.uniform(key, (n, d))
+    kern = ScaleKernel(RBFKernel(ard_num_dims=d))
+    kern.outputscale = 0.7
+    kern.base_kernel.lengthscale = jnp.asarray([0.374, 0.312, 0.435])
+    noise = 0.01
+    params = kern.trainable_params()
+
+    def logdet_p(p, fast):
+        with gp.settings.max_preconditioner_size(k), gp.settings.min_preconditioning_size(1), \
+                gp.settings.fast_precond_grad(fast):
+            oo = kern.with_params(p)(x).evaluate_kernel().add_jitter(noise)
+            return oo._preconditioner()[2]
+
+    def apply_sum(p, fast):
+        v = jax.random.normal(jax.random.PRNGKey(1), (n, 2))
+        with gp.settings.max_preconditioner_size(k), gp.settings.min_preconditioning_size(1), \
+                gp.settings.fast_precond_grad(fast):
+            oo = kern.with_params(p)(x).evaluate_kernel().add_jitter(noise)
+            _, P_op, _ = oo._preconditioner()
+            return jnp.sum(v * P_op._matmul(v))
+
+    for fn in (logdet_p, apply_sum):
+        v_fast, g_fast = jax.value_and_grad(fn)(params, True)
+        v_scan, g_scan = jax.value_and_grad(fn)(params, False)
+        assert float(v_fast) == float(v_scan)  # straddle: values bit-identical
+        for lf, ls in zip(jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_scan)):
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(ls),
+                rtol=5e-4, atol=5e-4 * max(1.0, float(jnp.max(jnp.abs(ls)))),
+            )
