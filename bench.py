@@ -251,10 +251,31 @@ def main():
             updates, s = opt.update(grads, s)
             return optax.apply_updates(p, updates), s, loss, new_st
 
-        return step, opt
+        # Terminal-polish step (BENCH_POLISH=k: the LAST k budget steps run this instead):
+        # cold solves (no warm state, stall-gated convergence), NTRI=20 probe floor,
+        # HIGHEST-precision K·V tiles — the low-bias gradient configuration — continuing
+        # the same Adam chain at its annealed terminal LR.  Targets the measured failure
+        # mode: truncation-biased terminal noise/outputscale landing mis-calibrated basins.
+        def polish_loss_fn(p, k):
+            m = model.with_params(p)
+            m.train_inputs = (tx,)
+            m.train_targets = ty
+            with _solver_ctx(gp, use_pallas=use_pallas), \
+                 gp.settings.kernel_matvec_high(False), gp.settings.kernel_matvec_highest(True), \
+                 gp.settings.max_lanczos_quadrature_iterations(20):
+                mll = ExactMarginalLogLikelihood(m.likelihood, m)
+                return -mll(m(tx), ty, key=k)
+
+        @jax.jit
+        def polish_step(p, s, k, st):
+            loss, grads = jax.value_and_grad(polish_loss_fn)(p, k)
+            updates, s = opt.update(grads, s)
+            return optax.apply_updates(p, updates), s, loss, st
+
+        return step, opt, polish_step
 
     # -- timed training at N (fresh probe key per step) ------------------------------------
-    step, opt = make_step(True, train_x, train_y)
+    step, opt, polish_step = make_step(True, train_x, train_y)
     state = opt.init(params)
     # BENCH_SEED re-rolls the probe-key chain only (data and init untouched) — the
     # perturbation axis for the NLL-spread measurement (VERDICT r2 ask #4)
@@ -321,9 +342,11 @@ def main():
     # iterate carries the last few SLQ gradient kicks; the EMA iterate averages them
     # out.  Evaluated INSTEAD of the last iterate when enabled.
     _ema_decay = float(os.environ.get("BENCH_EMA", "0"))
+    _polish = int(os.environ.get("BENCH_POLISH", "0"))
     p_ema = p
-    for _ in range(_total_steps - 9):
-        p, s, loss, solver_st = step(p, s, _next_key(), solver_st)
+    for i in range(_total_steps - 9):
+        _fn = polish_step if (_polish > 0 and i >= _total_steps - 9 - _polish) else step
+        p, s, loss, solver_st = _fn(p, s, _next_key(), solver_st)
         if _ema_decay > 0:
             p_ema = jax.tree_util.tree_map(
                 lambda e, q: _ema_decay * e + (1.0 - _ema_decay) * q, p_ema, p
@@ -401,6 +424,7 @@ def main():
         # spectrum's provable lower bound (metrics.negative_log_predictive_density).
         # Deterministic: no SLQ probes anywhere in this leg.  BENCH_NLL_EXACT=0 restores
         # the stochastic mBCG path (BENCH_NLL_PC rank knob) for solver regression checks.
+        nll_marginal_exact = float("nan")
         if _os.environ.get("BENCH_NLL_EXACT", "1") == "1":
             _nll_tol = float(_os.environ.get("BENCH_NLL_TOL", "1e-4"))
             _noise_term = float(jnp.ravel(final.likelihood.noise)[0])
@@ -411,11 +435,19 @@ def main():
             # This leg is ~25 s of uninterrupted device work (a 2048-column mBCG solve);
             # a TPU-worker fault here must not discard the whole run's training
             # measurements — degrade to nll=NaN and keep nll_marginal/rmse/s_per_iter.
+            nll_marginal_exact = float("nan")
             try:
                 with gp.settings.fast_pred_var(False), gp.settings.eval_cg_tolerance(_nll_tol):
                     pred_exact = fexact.likelihood(fexact(test_x))
                     nll = float(negative_log_predictive_density(
                         pred_exact, test_y, eig_floor=_noise_term))
+                    # Exact-diagonal marginal NLPD: disentangles training-basin
+                    # calibration from the LOVE rank-100 variance approximation the
+                    # headline nll_marginal reads (fast_pred_var path above)
+                    _ve = jnp.maximum(pred_exact.variance, _noise_term)
+                    _z2e = (pred_exact.mean - test_y) ** 2 / _ve
+                    nll_marginal_exact = float(
+                        jnp.mean(0.5 * (jnp.log(2 * jnp.pi * _ve) + _z2e)))
             except Exception as e:
                 _t(f"joint-NLL leg failed ({type(e).__name__}): falling back to NaN")
                 nll = float("nan")
@@ -564,6 +596,7 @@ def main():
             "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
             "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4) if nll == nll else None,
             "nll_marginal": round(nll_marginal, 4),
+            "nll_marginal_exact": round(nll_marginal_exact, 4) if nll_marginal_exact == nll_marginal_exact else None,
             "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
             "cg_iters_timed": cg_iters_timed, "mean_s_per_iter": round(mean_s_per_iter, 4),
             "noise": round(float(jnp.ravel(fin.likelihood.noise)[0]), 5),
@@ -575,7 +608,7 @@ def main():
         return
     try:
         def time_one(use_pallas):
-            st2, opt2 = make_step(use_pallas, train_x[:nb], train_y[:nb])
+            st2, opt2, _ = make_step(use_pallas, train_x[:nb], train_y[:nb])
             s2 = opt2.init(params)
             if _warm_rhs:
                 sst = jnp.zeros((nb, 1), dtype=jnp.float32)
@@ -602,6 +635,8 @@ def main():
                 "rmse": round(rmse, 4),
                 "nll": round(nll, 4) if nll == nll else None,
                 "nll_marginal": round(nll_marginal, 4),
+                "nll_marginal_exact": round(nll_marginal_exact, 4)
+                if nll_marginal_exact == nll_marginal_exact else None,
                 "mfu_pct": round(mfu_pct, 2),
                 "cg_iters": cg_iters_measured,
                 "cg_iters_timed": cg_iters_timed,
