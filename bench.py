@@ -397,7 +397,8 @@ def main():
          gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
          gp.settings.solve_iterative_refinements(_eval_ir), \
          gp.settings.preconditioner_noise_budget(1e-3), \
-         gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(100), \
+         gp.settings.fast_pred_var(True), \
+         gp.settings.max_root_decomposition_size(int(_os.environ.get("BENCH_LOVE_RANK", "100"))), \
          gp.settings.skip_posterior_variances(False):
         pred = final.likelihood(final(test_x))
         rmse = float(jnp.sqrt(mean_squared_error(pred, test_y)))
@@ -408,7 +409,15 @@ def main():
         # swing by nats on a numerically singular predictive covariance (measured:
         # joint −2.5 with per-point z²-mean 23 at one collapsed-basin hyper set —
         # _diag_nlpd.py), so quality decisions should read nll_marginal.
-        _var = pred.variance
+        # Variance floored at the likelihood noise — the exact predictive variance is
+        # provably ≥ σ² (posterior PSD + σ²I), so the floor clamps only LOVE rank-100
+        # truncation error (the same spectral bound as the joint leg's eig_floor).
+        # Measured without it (2026-08-19): LOVE-variance error alone swung this metric
+        # −0.13…+0.30 across probe seeds at identical RMSE/noise, and rank 256 exploded
+        # to +1.6e4 (f32 Rayleigh–Ritz breakdown) — nll_marginal_exact (the exact
+        # posterior diagonal from the joint leg) is the approximation-free reference.
+        _nfloor = jnp.ravel(final.likelihood.noise)[0]
+        _var = jnp.maximum(pred.variance, _nfloor)
         _z2 = (pred.mean - test_y) ** 2 / _var
         nll_marginal = float(jnp.mean(0.5 * (jnp.log(2 * jnp.pi * _var) + _z2)))
         _t(f"eval marginal nlpd: {nll_marginal:.4f}")
@@ -472,7 +481,8 @@ def main():
              gp.settings.eval_cg_tolerance(1e-3), gp.settings.max_preconditioner_size(_eval_pc), \
              gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
              gp.settings.preconditioner_noise_budget(1e-3), \
-             gp.settings.fast_pred_var(True), gp.settings.max_root_decomposition_size(100):
+             gp.settings.fast_pred_var(True), \
+             gp.settings.max_root_decomposition_size(int(_os.environ.get("BENCH_LOVE_RANK", "100"))):
             t0 = time.time()
             _sync(fresh(test_x).variance)
             love["love_var_cold_s"] = round(time.time() - t0, 4)
