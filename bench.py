@@ -421,50 +421,66 @@ def main():
         _z2 = (pred.mean - test_y) ** 2 / _var
         nll_marginal = float(jnp.mean(0.5 * (jnp.log(2 * jnp.pi * _var) + _z2)))
         _t(f"eval marginal nlpd: {nll_marginal:.4f}")
-        # Joint NLPD: deterministic dense path on the EXACT posterior covariance.
-        # Neither rank structure survives a naive dense Cholesky at this scale: the joint
-        # covariance is a near-complete cancellation (K_tt spectrum ~1e3 vs posterior
-        # ~σ²=1.7e-2), so the LOVE rank-100 covariance is wildly indefinite (measured
-        # on-chip 2026-08-19: eig range [−3.34, 1.90], 20 negative) and even the exact
-        # Schur complement at CG tol 1e-3 carries O(0.1) eigenvalue noise ([−0.34, 0.23]).
-        # Recipe: fresh caches with fast_pred_var OFF (one batched 2048-column mBCG
-        # solve, ~25 s on-chip) at a tightened CG tolerance, then an eigendecomposition
-        # log_prob with eigenvalues floored at the terminal likelihood noise — the exact
-        # spectrum's provable lower bound (metrics.negative_log_predictive_density).
-        # Deterministic: no SLQ probes anywhere in this leg.  BENCH_NLL_EXACT=0 restores
-        # the stochastic mBCG path (BENCH_NLL_PC rank knob) for solver regression checks.
+
+    # Joint NLPD: deterministic dense path on the EXACT posterior covariance.
+    # Neither rank structure survives a naive dense Cholesky at this scale: the joint
+    # covariance is a near-complete cancellation (K_tt spectrum ~1e3 vs posterior
+    # ~σ²=1.7e-2), so the LOVE rank-100 covariance is wildly indefinite (measured
+    # on-chip 2026-08-19: eig range [−3.34, 1.90], 20 negative) and even the exact
+    # Schur complement at CG tol 1e-3 carries O(0.1) eigenvalue noise ([−0.34, 0.23]).
+    # Recipe: fresh caches with fast_pred_var OFF (one batched 2048-column mBCG
+    # solve at a tightened CG tolerance — chunked into BENCH_NLL_COLCHUNK-column
+    # dispatches with host syncs so no single device program runs ~25 s, the
+    # r02/r03 TPU-worker-crash signature), then an eigendecomposition log_prob with
+    # eigenvalues floored at the terminal likelihood noise — the exact spectrum's
+    # provable lower bound (metrics.negative_log_predictive_density).
+    # Deterministic: no SLQ probes anywhere in this leg.  BENCH_NLL_EXACT=0 restores
+    # the stochastic mBCG path (BENCH_NLL_PC rank knob) for solver regression checks.
+    # NOTE: this leg runs LAST in main() — it has crashed the TPU worker twice
+    # (r02 capture, r03 capture) and a worker death here must not poison the MFU
+    # count, LOVE anchors, or the fused-vs-XLA ablation (VERDICT r3 ask #1b).
+    def _joint_nll_leg():
+        nll = float("nan")
         nll_marginal_exact = float("nan")
-        if _os.environ.get("BENCH_NLL_EXACT", "1") == "1":
-            _nll_tol = float(_os.environ.get("BENCH_NLL_TOL", "1e-4"))
-            _noise_term = float(jnp.ravel(final.likelihood.noise)[0])
-            fexact = model.with_params(p)
-            fexact.train_inputs = (train_x,)
-            fexact.train_targets = train_y
-            fexact = fexact.eval()
-            # This leg is ~25 s of uninterrupted device work (a 2048-column mBCG solve);
-            # a TPU-worker fault here must not discard the whole run's training
-            # measurements — degrade to nll=NaN and keep nll_marginal/rmse/s_per_iter.
-            nll_marginal_exact = float("nan")
-            try:
-                with gp.settings.fast_pred_var(False), gp.settings.eval_cg_tolerance(_nll_tol):
+        err = None
+        try:
+            if _os.environ.get("BENCH_NLL_EXACT", "1") == "1":
+                _nll_tol = float(_os.environ.get("BENCH_NLL_TOL", "1e-4"))
+                _noise_term = float(jnp.ravel(final.likelihood.noise)[0])
+                _colchunk = int(_os.environ.get("BENCH_NLL_COLCHUNK", "512"))
+                fexact = model.with_params(p)
+                fexact.train_inputs = (train_x,)
+                fexact.train_targets = train_y
+                fexact = fexact.eval()
+                with _solver_ctx(gp, bf16=False), _eval_prec_ctx(), \
+                     gp.settings.max_preconditioner_size(_eval_pc), \
+                     gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
+                     gp.settings.preconditioner_noise_budget(1e-3), \
+                     gp.settings.fast_pred_var(False), gp.settings.eval_cg_tolerance(_nll_tol), \
+                     gp.settings.solve_column_chunk(_colchunk):
                     pred_exact = fexact.likelihood(fexact(test_x))
                     nll = float(negative_log_predictive_density(
                         pred_exact, test_y, eig_floor=_noise_term))
                     # Exact-diagonal marginal NLPD: disentangles training-basin
                     # calibration from the LOVE rank-100 variance approximation the
-                    # headline nll_marginal reads (fast_pred_var path above)
+                    # headline nll_marginal reads (fast_pred_var path)
                     _ve = jnp.maximum(pred_exact.variance, _noise_term)
                     _z2e = (pred_exact.mean - test_y) ** 2 / _ve
                     nll_marginal_exact = float(
                         jnp.mean(0.5 * (jnp.log(2 * jnp.pi * _ve) + _z2e)))
-            except Exception as e:
-                _t(f"joint-NLL leg failed ({type(e).__name__}): falling back to NaN")
-                nll = float("nan")
-        else:
-            _nll_pc = int(_os.environ.get("BENCH_NLL_PC", "50"))
-            with gp.settings.max_preconditioner_size(_nll_pc):
-                nll = float(negative_log_predictive_density(pred, test_y))
+            else:
+                _nll_pc = int(_os.environ.get("BENCH_NLL_PC", "50"))
+                with _solver_ctx(gp, bf16=False), _eval_prec_ctx(), \
+                     gp.settings.eval_cg_tolerance(1e-3), \
+                     gp.settings.max_cg_iterations(1000), gp.settings.cg_stall_window(50), \
+                     gp.settings.preconditioner_noise_budget(1e-3), \
+                     gp.settings.max_preconditioner_size(_nll_pc):
+                    nll = float(negative_log_predictive_density(pred, test_y))
+        except Exception as e:
+            err = f"{type(e).__name__}: {str(e)[:110]}"
+            _t(f"joint-NLL leg failed ({type(e).__name__}): falling back to NaN")
         _t(f"eval nll done: {nll:.4f}")
+        return nll, nll_marginal_exact, err
 
     # -- LOVE eval-latency anchors (BASELINE.md: KISS-GP exact covar 1.81 s → LOVE 0.14 s
     # cached; sampling 1.92 s → 0.02 s cached).  Cold = first posterior-variance call
@@ -584,77 +600,89 @@ def main():
     # window (late-training systems are harder and run more CG iterations — dividing
     # final-hypers iterations by early-phase time would overstate utilization).  The
     # final-hypers count is reported separately as cg_iters.
+    # HONESTY CONTRACT (VERDICT r3 weak #1): if the iteration count cannot be measured
+    # (e.g. a dead TPU worker), MFU is **null** with an mfu_error — never computed from
+    # a fallback count (r03's fabricated 73.2% came from an `except: 100` feeding the
+    # FLOPs numerator while the real warm count is 10).
+    mfu_error = None
     try:
         cg_iters_timed = _count_iters_mode(p_timed)
-    except Exception:
-        cg_iters_timed = 100
+    except Exception as e:
+        cg_iters_timed = None
+        mfu_error = f"{type(e).__name__}: {str(e)[:110]}"
     try:
         cg_iters_measured = _count_iters_mode(p)
     except Exception:
-        cg_iters_measured = 100
-    flops_matvec = N * N * (3 * D + 8 + 2 * t_cols)
-    # fwd CG iterations + the fused BBMM backward (one tile build computing dv + the two
-    # weighted-moment reductions ≈ 3 matvec-equivalents of NOMINAL flops — conservative)
-    flops_step = (cg_iters_timed + 3) * flops_matvec
-    mfu_pct = 100.0 * flops_step / (s_per_iter * _PEAK_FLOPS)
+        cg_iters_measured = None
+    if cg_iters_timed is not None:
+        flops_matvec = N * N * (3 * D + 8 + 2 * t_cols)
+        # fwd CG iterations + the fused BBMM backward (one tile build computing dv + the
+        # two weighted-moment reductions ≈ 3 matvec-equivalents of NOMINAL flops —
+        # conservative)
+        flops_step = (cg_iters_timed + 3) * flops_matvec
+        mfu_pct = 100.0 * flops_step / (s_per_iter * _PEAK_FLOPS)
+    else:
+        mfu_pct = None
 
     # -- baseline ratio: plain-XLA chunked path at reduced N (too slow at 100k) -------------
     nb = min(N, 20_000)
-    if _os.environ.get("BENCH_FAST", "0") == "1":  # sweep mode: skip the ablation timing
-        fin = model.with_params(p)
-        print(json.dumps({
-            "metric": f"mbcg_train_iter_n{N}_wallclock", "value": round(s_per_iter, 4),
-            "unit": "s/iter", "rmse": round(rmse, 4), "nll": round(nll, 4) if nll == nll else None,
-            "nll_marginal": round(nll_marginal, 4),
-            "nll_marginal_exact": round(nll_marginal_exact, 4) if nll_marginal_exact == nll_marginal_exact else None,
-            "mfu_pct": round(mfu_pct, 2), "cg_iters": cg_iters_measured,
-            "cg_iters_timed": cg_iters_timed, "mean_s_per_iter": round(mean_s_per_iter, 4),
+    _fast = _os.environ.get("BENCH_FAST", "0") == "1"  # sweep mode: skip the ablation timing
+    vs_baseline = float("nan")
+    if not _fast:
+        try:
+            def time_one(use_pallas):
+                st2, opt2, _ = make_step(use_pallas, train_x[:nb], train_y[:nb])
+                s2 = opt2.init(params)
+                if _warm_rhs:
+                    sst = jnp.zeros((nb, 1), dtype=jnp.float32)
+                else:
+                    sst = jnp.zeros((nb, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
+                p2, s2, l2, sst = st2(params, s2, jax.random.PRNGKey(3), sst)
+                _sync(l2)
+                t0 = time.time()
+                p2, s2, l2, sst = st2(p2, s2, jax.random.PRNGKey(4), sst)
+                _sync(l2)
+                return time.time() - t0
+
+            vs_baseline = time_one(False) / time_one(True)
+            _t(f"ablation vs_baseline: {vs_baseline:.3f}")
+        except Exception:
+            vs_baseline = float("nan")
+
+    # -- joint-NLL leg LAST: the one leg that has killed the TPU worker (r02, r03);
+    # everything above is already computed when it runs -------------------------------------
+    nll, nll_marginal_exact, nll_error = _joint_nll_leg()
+
+    fin = model.with_params(p)
+    out = {
+        "metric": f"mbcg_train_iter_n{N}_wallclock",
+        "value": round(s_per_iter, 4),
+        "unit": "s/iter",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "rmse": round(rmse, 4),
+        "nll": round(nll, 4) if nll == nll else None,
+        "nll_marginal": round(nll_marginal, 4),
+        "nll_marginal_exact": round(nll_marginal_exact, 4)
+        if nll_marginal_exact == nll_marginal_exact else None,
+        "mfu_pct": round(mfu_pct, 2) if mfu_pct is not None else None,
+        "cg_iters": cg_iters_measured,
+        "cg_iters_timed": cg_iters_timed,
+        "mean_s_per_iter": round(mean_s_per_iter, 4),
+        **love,
+    }
+    if mfu_error is not None:
+        out["mfu_error"] = mfu_error
+    if nll_error is not None:
+        out["nll_error"] = nll_error
+    if _fast:
+        out.update({
             "noise": round(float(jnp.ravel(fin.likelihood.noise)[0]), 5),
             "outputscale": round(float(jnp.ravel(fin.covar_module.outputscale)[0]), 4),
             "lengthscale": [round(float(v), 4) for v in
                             jnp.ravel(fin.covar_module.base_kernel.lengthscale)],
-            **love,
-        }))
-        return
-    try:
-        def time_one(use_pallas):
-            st2, opt2, _ = make_step(use_pallas, train_x[:nb], train_y[:nb])
-            s2 = opt2.init(params)
-            if _warm_rhs:
-                sst = jnp.zeros((nb, 1), dtype=jnp.float32)
-            else:
-                sst = jnp.zeros((nb, 1 + _probes) if _warm else (1, 1), dtype=jnp.float32)
-            p2, s2, l2, sst = st2(params, s2, jax.random.PRNGKey(3), sst)
-            _sync(l2)
-            t0 = time.time()
-            p2, s2, l2, sst = st2(p2, s2, jax.random.PRNGKey(4), sst)
-            _sync(l2)
-            return time.time() - t0
-
-        vs_baseline = time_one(False) / time_one(True)
-    except Exception:
-        vs_baseline = float("nan")
-
-    print(
-        json.dumps(
-            {
-                "metric": f"mbcg_train_iter_n{N}_wallclock",
-                "value": round(s_per_iter, 4),
-                "unit": "s/iter",
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
-                "rmse": round(rmse, 4),
-                "nll": round(nll, 4) if nll == nll else None,
-                "nll_marginal": round(nll_marginal, 4),
-                "nll_marginal_exact": round(nll_marginal_exact, 4)
-                if nll_marginal_exact == nll_marginal_exact else None,
-                "mfu_pct": round(mfu_pct, 2),
-                "cg_iters": cg_iters_measured,
-                "cg_iters_timed": cg_iters_timed,
-                "mean_s_per_iter": round(mean_s_per_iter, 4),
-                **love,
-            }
-        )
-    )
+        })
+        out.pop("vs_baseline", None)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -67,10 +67,16 @@ def matmul(input, other):
 
 
 def pivoted_cholesky(input, rank, error_tol=None, return_pivots=False):
-    """Reference: gpytorch/__init__.py:146."""
+    """Reference: gpytorch/__init__.py:146.  ``error_tol`` maps to the solver's relative
+    stopping tolerance; ``return_pivots`` forwards the pivot order."""
     from .solvers.pivoted_cholesky import pivoted_cholesky as _pc
 
-    return _pc(to_linear_operator(input), rank)
+    return _pc(
+        to_linear_operator(input),
+        rank,
+        rel_tol=0.0 if error_tol is None else float(error_tol),
+        return_pivots=return_pivots,
+    )
 
 
 def root_decomposition(input, method=None):

@@ -254,6 +254,12 @@ class LinearOperator(DictPyTree):
     def detach(self) -> "LinearOperator":
         return jax.tree_util.tree_map(jax.lax.stop_gradient, self)
 
+    def _is_traced(self, *extra) -> bool:
+        """True when this operator (or any ``extra`` array) contains jit tracers —
+        eager-only behaviors (host syncs, chunked dispatch) must be skipped then."""
+        leaves = jax.tree_util.tree_leaves(self) + list(extra)
+        return any(isinstance(leaf, jax.core.Tracer) for leaf in leaves)
+
     # ------------------------------------------------------------------ factorizations
     def cholesky(self, upper: bool = False) -> "LinearOperator":
         from .triangular import TriangularLinearOperator
@@ -319,7 +325,21 @@ class LinearOperator(DictPyTree):
         else:
             from ..solvers.cg import linear_solve_cg
 
-            res = linear_solve_cg(self.evaluate_kernel(), rhs)
+            op = self.evaluate_kernel()
+            chunk = int(settings.solve_column_chunk.value())
+            if chunk and rhs.shape[-1] > chunk and not self._is_traced(rhs):
+                # Eager wide solve: chunk the columns into separate CG dispatches with a
+                # host sync between them, so no single device program runs unboundedly
+                # long (see settings.solve_column_chunk).  CG is column-independent, so
+                # the concatenated solution equals the one-shot solve to tolerance.
+                pieces = []
+                for i in range(0, rhs.shape[-1], chunk):
+                    piece = linear_solve_cg(op, rhs[..., i : i + chunk])
+                    jax.block_until_ready(piece)
+                    pieces.append(piece)
+                res = jnp.concatenate(pieces, axis=-1)
+            else:
+                res = linear_solve_cg(op, rhs)
         if lhs is not None:
             res = lhs @ res
         return res[..., 0] if squeeze else res

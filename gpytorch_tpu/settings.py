@@ -271,6 +271,20 @@ class cg_stall_window(_value_context):
     _global_value = 10
 
 
+class solve_column_chunk(_value_context):
+    """Max rhs columns per CG dispatch in eager (non-jit) ``LinearOperator.solve`` calls.
+
+    0 (default) = one dispatch for the full rhs.  When set, wide solves (e.g. the
+    2048-column exact-posterior-covariance solve of the N=100k joint-NLPD eval) are
+    split into column chunks with a host sync between dispatches, bounding the length
+    of any single uninterrupted device program — a ~25 s single program has twice
+    crashed the tunneled TPU worker (BENCH r02/r03).  The chunks solve the identical
+    system (CG is column-independent), so results match the one-shot solve to solver
+    tolerance.  Ignored under jit tracing (host syncs are impossible there) and on the
+    Cholesky path (already a short program).  TPU-only concern; no reference analogue."""
+    _global_value = 0
+
+
 class solve_iterative_refinements(_value_context):
     """Iterative-refinement passes after each CG solve: x ← x + CG(A, b − A x).
 
