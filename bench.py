@@ -19,8 +19,8 @@ flat (mean = median; every step runs exactly 10 CG iterations)**, RMSE 0.1791 (b
 seeds — identical to the cold control), joint NLL −0.19/−0.54, marginal NLPD
 −0.13/−0.20 (cold control −0.199), noise 0.016/0.019 (true ≈ 0.017).  That is 2.95×
 the cold mean (1.784 s/iter at 37 late-training iters) at equal quality.  Accounting
-(closed; _prof_accounting.py fit 194 ms fixed + 35.9 ms/iter R²=0.95 cold, component
-split in _prof_fixed2.py): 10 matvecs ≈ 280 ms + precond applies ≈ 50 ms + P build
+(closed; scripts/_prof_accounting.py fit 194 ms fixed + 35.9 ms/iter R²=0.95 cold, component
+split in scripts/_prof_fixed2.py): 10 matvecs ≈ 280 ms + precond applies ≈ 50 ms + P build
 9 ms + probes 3 ms + SLQ/misc ≈ 90 ms + fused BBMM backward 113 ms + VR P-rebuild
 50 ms.  Guard rails, each measured: NTRI=5 collapses the noise hyper (2.32, RMSE 0.29 —
 probe solves too truncated even with VR); flat LR re-rolls terminal hypers per seed
@@ -408,7 +408,7 @@ def main():
         # metric, but its 2048-dim logdet under pivoted-Cholesky rank truncation can
         # swing by nats on a numerically singular predictive covariance (measured:
         # joint −2.5 with per-point z²-mean 23 at one collapsed-basin hyper set —
-        # _diag_nlpd.py), so quality decisions should read nll_marginal.
+        # scripts/_diag_nlpd.py), so quality decisions should read nll_marginal.
         # Variance floored at the likelihood noise — the exact predictive variance is
         # provably ≥ σ² (posterior PSD + σ²I), so the floor clamps only LOVE rank-100
         # truncation error (the same spectral bound as the joint leg's eig_floor).
@@ -531,7 +531,7 @@ def main():
             _sync(var_fn())
             love["love_var_cached_s"] = round(time.time() - t0, 4)
             # Amortized cached latency: the single-call number above pays one axon-tunnel
-            # round trip (~25 ms, _prof_rtt.py) per call — a measurement artifact of this
+            # round trip (~25 ms, scripts/_prof_rtt.py) per call — a measurement artifact of this
             # tunneled dev setup, not of the compiled program (a local deployment pays
             # ~µs dispatch, as the reference's CUDA notebook did).  Chain 10 dispatches
             # with ONE final sync for the device-side per-call cost.

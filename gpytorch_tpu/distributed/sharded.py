@@ -62,6 +62,9 @@ class ShardedKernelLinearOperator(LinearOperator):
     this device's rows.
     """
 
+    def _is_known_psd(self) -> bool:
+        return True  # always the symmetric K(X, X) of a valid kernel (plus nonneg noise)
+
     def __init__(self, kernel, x_local, axis_name: str, num_devices: int, ring: bool = False,
                  local_diag=None, x_full=None):
         self.kernel = kernel

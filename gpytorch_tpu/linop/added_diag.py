@@ -14,6 +14,42 @@ from .base import LinearOperator
 from .diag import ConstantDiagLinearOperator, DiagLinearOperator
 
 
+# -- fast preconditioner-root gradient (settings.fast_precond_grad) ----------------------
+# Primal = the pivoted-Cholesky scan factor, exactly as the legacy path computes it —
+# pure-inference callers (eval CG, probe draws) pay ZERO extra cost because the Nyström
+# factor only exists inside the VJP (ADVICE r3 #3: the old stop-gradient straddle kept
+# L_nys in the primal where XLA could not DCE it).  Gradient = VJP through the fixed-pivot
+# Nyström form K[:,p] K[p,p]⁻¹ K[p,:], the same function of the hypers as the scan on its
+# pivot set (solvers/pivoted_cholesky.py::nystrom_factor_from_pivots), but one k×k
+# Cholesky + one (k, n) triangular solve instead of a sequential reverse scan sweep.
+def _pc_fast_grad_primal(base, rank, rel_tol):
+    from ..solvers.pivoted_cholesky import pivoted_cholesky
+
+    L, piv = pivoted_cholesky(base, rank=rank, rel_tol=rel_tol, return_pivots=True)
+    return L, piv
+
+
+def _pc_fast_grad_fwd(base, rank, rel_tol):
+    L, piv = _pc_fast_grad_primal(base, rank, rel_tol)
+    # truncation guard parity: columns the scan zeroed (exhausted residual) carry no
+    # value and must carry no gradient either
+    col_live = (jnp.sum(L * L, axis=-2, keepdims=True) > 0.0).astype(L.dtype)
+    return (L, piv), (base, piv, col_live)
+
+
+def _pc_fast_grad_bwd(rank, rel_tol, res, cotangents):
+    from ..solvers.pivoted_cholesky import nystrom_factor_from_pivots
+
+    base, piv, col_live = res
+    g, _ = cotangents  # pivot cotangent is int/None — no gradient flows through pivots
+    _, vjp = jax.vjp(lambda b: nystrom_factor_from_pivots(b, piv) * col_live, base)
+    return vjp(g)
+
+
+_pc_fast_grad = jax.custom_vjp(_pc_fast_grad_primal, nondiff_argnums=(1, 2))
+_pc_fast_grad.defvjp(_pc_fast_grad_fwd, _pc_fast_grad_bwd)
+
+
 class AddedDiagLinearOperator(LinearOperator):
     def __init__(self, base: LinearOperator, diag_op: DiagLinearOperator):
         self.base = base
@@ -35,15 +71,19 @@ class AddedDiagLinearOperator(LinearOperator):
         return self.base._diagonal() + self.diag_op._diagonal()
 
     def _eig_lower_bound(self):
-        # AddedDiag's contract (here and in the reference) is PSD base + noise diagonal,
-        # so λ_min ≥ λ_min(base) + min(diag) ≥ min(diag) by Weyl.  This is what lets the
-        # Lanczos inverse root floor its Ritz values at σ² instead of amplifying f32
-        # Rayleigh–Ritz noise into 1/√(1e-8) spikes (see LinearOperator._eig_lower_bound).
-        base_bound = self.base._eig_lower_bound()
+        # λ_min(K + D) ≥ λ_min(K) + min(D) by Weyl.  When the base declares no bound of
+        # its own, min(D) alone is a valid floor ONLY for a PSD base (`_is_known_psd`) —
+        # kernel matrices, R Rᵀ roots — never assumed for arbitrary symmetric operators.
+        # This is what lets the Lanczos inverse root floor its Ritz values at σ² instead
+        # of amplifying f32 Rayleigh–Ritz noise into 1/√(1e-8) spikes (see
+        # LinearOperator._eig_lower_bound).
         diag_bound = self.diag_op._eig_lower_bound()
-        if base_bound is None:
-            return diag_bound
-        return base_bound + diag_bound
+        if diag_bound is None:
+            return None
+        base_bound = self.base._eig_lower_bound()
+        if base_bound is not None:
+            return base_bound + diag_bound
+        return diag_bound if self.base._is_known_psd() else None
 
     def to_dense(self):
         return self.base.to_dense() + self.diag_op.to_dense()
@@ -85,31 +125,12 @@ class AddedDiagLinearOperator(LinearOperator):
         # below treats as inert
         if settings.fast_precond_grad.on():
             # Value from the scan (bit-identical to the legacy path — probe streams and
-            # CG preconditioning see the exact same factor), gradient from the fixed-pivot
-            # Nyström form: partial pivoted Cholesky ≡ K[:,p] K[p,p]⁻¹ K[p,:] on its pivot
-            # set, so both are the same function of the hypers; the Nyström VJP is one
-            # k×k Cholesky + a (k, n) triangular solve instead of a reverse sweep through
-            # the k-step scan (~40 ms/step cheaper in the VR logdet backward at N=100k).
-            from ..solvers.pivoted_cholesky import nystrom_factor_from_pivots
-
-            base_sg = jax.tree_util.tree_map(
-                lambda x: jax.lax.stop_gradient(x)
-                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-                else x,
-                self.base,
-            )
-            L_val, piv = pivoted_cholesky(
-                base_sg,
-                rank=k,
-                rel_tol=float(settings.preconditioner_tolerance.value()),
-                return_pivots=True,
-            )  # (..., n, k), (..., k) — no VJP through the scan
-            L_nys = nystrom_factor_from_pivots(self.base, piv)
-            # truncation guard parity: columns the scan zeroed (exhausted residual) carry
-            # no value and must carry no gradient either
-            col_live = (jnp.sum(L_val * L_val, axis=-2, keepdims=True) > 0.0).astype(L_val.dtype)
-            L_nys = L_nys * col_live
-            L = L_nys + jax.lax.stop_gradient(L_val - L_nys)
+            # CG preconditioning see the exact same factor); gradient through the
+            # fixed-pivot Nyström VJP, which only materializes when something actually
+            # differentiates (see _pc_fast_grad above).
+            L, _ = _pc_fast_grad(
+                self.base, k, float(settings.preconditioner_tolerance.value())
+            )  # (..., n, k)
         else:
             L = pivoted_cholesky(
                 self.base, rank=k, rel_tol=float(settings.preconditioner_tolerance.value())

@@ -222,6 +222,13 @@ class LinearOperator(DictPyTree):
         """Return (apply_fn, precond_root_linop, precond_logdet) or (None, None, None)."""
         return None, None, None
 
+    def _is_known_psd(self) -> bool:
+        """True when the operator is positive semi-definite *by construction* (R Rᵀ roots,
+        kernel matrices, identity/zero).  Consulted where a bound is only valid for a PSD
+        operand — e.g. ``AddedDiagLinearOperator._eig_lower_bound``'s Weyl argument.
+        Default ``False``: unknown symmetric operators must not be assumed PSD."""
+        return False
+
     def _eig_lower_bound(self) -> Optional[Array]:
         """A known lower bound on the operator's eigenvalues (or ``None`` if unknown).
 

@@ -159,6 +159,9 @@ class ConstantDiagLinearOperator(DiagLinearOperator):
 
 
 class IdentityLinearOperator(ConstantDiagLinearOperator):
+    def _is_known_psd(self) -> bool:
+        return True
+
     def __init__(self, diag_shape: int, dtype=jnp.float32, batch_shape: Tuple[int, ...] = ()):
         super().__init__(jnp.ones(tuple(batch_shape) + (1,), dtype=dtype), diag_shape)
 

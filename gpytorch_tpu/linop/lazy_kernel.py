@@ -31,6 +31,12 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         self.x2 = jnp.asarray(x2)
         self.last_dim_is_batch = bool(last_dim_is_batch)
 
+    def _is_known_psd(self) -> bool:
+        # K(X, X) of a valid kernel is PSD; cross-covariances K(X, Z) are not (not even
+        # square).  `x1 is x2` is how symmetric evaluation is constructed (Kernel.__call__
+        # with one input) — conservative for genuinely equal-but-distinct arrays.
+        return self.x1 is self.x2
+
     # -- shape ------------------------------------------------------------------------
     def _shape(self):
         num_out = self.kernel.num_outputs_per_input(self.x1, self.x2)

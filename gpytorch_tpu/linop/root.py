@@ -15,6 +15,9 @@ from .diag import ConstantDiagLinearOperator, DiagLinearOperator
 class RootLinearOperator(LinearOperator):
     """A = R Rᵀ for a (possibly rectangular) root R."""
 
+    def _is_known_psd(self) -> bool:
+        return True  # R Rᵀ is PSD by construction
+
     def __init__(self, root):
         if isinstance(root, LinearOperator):
             self.root = root

@@ -9,6 +9,9 @@ from .base import LinearOperator
 
 
 class ZeroLinearOperator(LinearOperator):
+    def _is_known_psd(self) -> bool:
+        return True  # the zero operator is (trivially) PSD
+
     def __init__(self, *shape, dtype=None):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])

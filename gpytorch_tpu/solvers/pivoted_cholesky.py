@@ -104,9 +104,10 @@ def nystrom_factor_from_pivots(linop, pivots: jax.Array, jitter_rel: float = 1e-
     (settings.precond_logdet_vr).  Differentiating the k-step `lax.scan` above costs a
     sequential backward sweep carrying (n, k) residuals (~50 ms/step at the N=100k
     flagship); this form is one k×k Cholesky + one (k, n) triangular solve — fully
-    parallel, with only the k kernel rows feeding the kernel-parameter VJP.  Pair as
-    ``value(scan) + grad(nystrom)`` via a stop-gradient straddle (linop/added_diag.py)
-    so forward values (probe streams, CG preconditioning) stay bit-identical.
+    parallel, with only the k kernel rows feeding the kernel-parameter VJP.  Paired as
+    ``value(scan) + grad(nystrom)`` via a ``custom_vjp`` (linop/added_diag.py::
+    _pc_fast_grad) so forward values (probe streams, CG preconditioning) stay
+    bit-identical and pure-inference callers never build the Nyström factor at all.
     """
     from .cholesky import psd_safe_cholesky
 
