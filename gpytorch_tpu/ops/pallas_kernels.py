@@ -69,6 +69,29 @@ def _kernel_prime(d2, kernel_type: int):
     return -(5.0 / 6.0) * (1.0 + _SQRT5 * r) * jnp.exp(-_SQRT5 * r)
 
 
+def _kernel_fn_and_prime(d2, kernel_type: int):
+    """(k(d2), dk/d(d2)) sharing ONE transcendental per element.
+
+    Every supported family's k and k′ differ only by a rational factor of the same
+    exponential, so the fused backward (which needs both on every tile) should never pay
+    two VPU exp sweeps: RBF k′ = −k/2; Matérn-½ k′ = −k/(2r); Matérn-3/2 and -5/2 share
+    exp(−c·r).  Identical values to calling _kernel_fn/_kernel_prime separately."""
+    if kernel_type == RBF:
+        k = jnp.exp(-0.5 * d2)
+        return k, -0.5 * k
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kernel_type == MATERN05:
+        k = jnp.exp(-r)
+        return k, -k * (0.5 / r)
+    if kernel_type == MATERN15:
+        s = _SQRT3 * r
+        e = jnp.exp(-s)
+        return (1.0 + s) * e, -1.5 * e
+    s = _SQRT5 * r
+    e = jnp.exp(-s)
+    return (1.0 + s + s * s / 3.0) * e, -(5.0 / 6.0) * (1.0 + s) * e
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -396,9 +419,12 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
     Dp = max(_round_up(d, 8), 8)
     Tp = _round_up(t, _LANE)
     direct = d <= _DIRECT_D_MAX
-    # column sub-blocks bound live VMEM: d2/kv/kp/W tiles are (BN, BM/n_sub); cbf16
-    # materializes one extra bf16 K-tile copy (k_hi), so it shares high's tighter split
-    n_sub = 4 if (high or highest) else 2
+    # column sub-blocks bound live VMEM: d2/kv/kp/W tiles are (BN, BM/n_sub).  ×4 for
+    # EVERY mode: the v5e AOT matrix (2026-08-19) showed n_sub=2 OOMs scoped VMEM for all
+    # Matérn backwards at DEFAULT precision (the extra r/exp intermediates) and for all
+    # bf16 backwards (the cast copies) — 22.4 MB against the 16 MB stack limit.  The inner
+    # sub-loop adds no grid overhead (measured ~free on the forward path).
+    n_sub = 4
     xp = _pad_to(_pad_to(x, Np, 0), Dp, 1)
     xpt = jnp.swapaxes(xp, 0, 1)  # (Dp, Np)
     gp = _pad_to(_pad_to(g, Np, 0), Tp, 1)
@@ -428,8 +454,10 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
             b_s = x2_ref[s * sub : (s + 1) * sub, :]
             bt_s = x2t_ref[:, s * sub : (s + 1) * sub]
             d2 = _d2_tile(a, bt_s if direct else b_s, d, direct)
-            kv = _kernel_fn(d2, kernel_type)
-            kp = _kernel_prime(d2, kernel_type)
+            # one shared exp per element (k and k′ differ by a rational factor) — the
+            # separate _kernel_fn + _kernel_prime calls cost a second VPU transcendental
+            # sweep over the full N² tile area
+            kv, kp = _kernel_fn_and_prime(d2, kernel_type)
             # the diagonal's dx contribution is identically zero ((x_i − x_i) = 0), but for
             # Matérn kernels kp(0) ~ 1/√eps — realized as rowsum(W)·x − W·x it becomes a
             # catastrophic f32 cancellation.  Zero the exact diagonal instead.
@@ -451,12 +479,17 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
             else:
                 prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
                 dv_p = jnp.dot(kv.astype(jnp.float32), gj_s, preferred_element_type=jnp.float32, precision=prec)
-            # dx: W + W' = k'(d2) ∘ (g_i v_jᵀ + v_i g_jᵀ), then one weighted-moment pass
+            # dx: W + W' = k'(d2) ∘ (g_i v_jᵀ + v_i g_jᵀ), then one weighted-moment pass.
+            # Contract over the REAL column count, not the 128-lane pad: g/v carry t live
+            # columns (zero-padded to Tp), so slicing to a lane-aligned bound ≥ t cuts the
+            # MXU contraction depth up to 4× (t=32) at identical results.
+            tc = min(Tp, _round_up(max(t, 1), 64) if t <= 64 else Tp)
+            gi_c, vi_c = gi[:, :tc], vi[:, :tc]
             gv = jax.lax.dot_general(
-                gi, vj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                gi_c, vj_s[:, :tc], dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             vg = jax.lax.dot_general(
-                vi, gj_s, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                vi_c, gj_s[:, :tc], dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             W = kp * (gv + vg)
             rowsum = jnp.sum(W, axis=-1, keepdims=True)

@@ -212,3 +212,64 @@ def test_sharded_train_step_compiles_for_v5e_8():
     )
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
     assert "AOT-ALL-OK" in res.stdout
+
+
+_CHILD_KERNEL_MATRIX = r"""
+import contextlib
+import jax, jax.numpy as jnp
+from jax.experimental import topologies
+from jax.sharding import SingleDeviceSharding
+
+topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:1x1x1",
+                                    chips_per_host_bounds=[1, 1, 1])
+sh = SingleDeviceSharding(topo.devices[0])
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.ops import pallas_kernels as pk
+
+N = 4096
+x = jax.ShapeDtypeStruct((N, 3), jnp.float32, sharding=sh)
+modes = [("default", None), ("bf16", gp.settings.kernel_matvec_bf16),
+         ("high", gp.settings.kernel_matvec_high),
+         ("highest", gp.settings.kernel_matvec_highest),
+         ("cbf16", gp.settings.kernel_matvec_consistent_bf16)]
+for t in (32, 128):
+    g = jax.ShapeDtypeStruct((N, t), jnp.float32, sharding=sh)
+    v = jax.ShapeDtypeStruct((N, t), jnp.float32, sharding=sh)
+    for mode, ctx in modes:
+        cm = ctx(True) if ctx is not None else contextlib.nullcontext()
+        with cm:
+            for kt in (pk.RBF, pk.MATERN05, pk.MATERN15, pk.MATERN25):
+                jax.jit(lambda x, g, v, kt=kt: pk._matvec_pallas(x, x, v, kt)).lower(x, x, v).compile()
+                jax.jit(lambda x, g, v, kt=kt: pk._bwd_fused_pallas(x, g, v, kt)).lower(x, g, v).compile()
+                print(f"OK {mode} kt{kt} t{t}")
+print("AOT-ALL-OK")
+"""
+
+
+@pytest.mark.skipif(not _has_libtpu(), reason="local libtpu not found")
+@pytest.mark.skipif(
+    os.environ.get("GPYTORCH_TPU_AOT_TEST", "0") != "1",
+    reason="minutes of chipless XLA:TPU compilation; opt in with GPYTORCH_TPU_AOT_TEST=1",
+)
+def test_kernel_mode_matrix_compiles_for_v5e():
+    """Every (precision mode × kernel family × column width) Mosaic-compiles within the
+    scoped-VMEM stack limit, forward AND fused backward.  Regression for the 2026-08-19
+    finding: the n_sub=2 backward OOM'd scoped VMEM (22.4 MB vs 16 MB) for all Matérn
+    backwards at DEFAULT precision and all bf16 backwards — configurations the flagship
+    bench (RBF, high) never exercises and interpret-mode CPU tests cannot see."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        TPU_ACCELERATOR_TYPE="v5litepod-1",
+        TPU_WORKER_HOSTNAMES="localhost",
+        GPYTORCH_TPU_FORCE_PALLAS="1",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", _CHILD_KERNEL_MATRIX], env=env, capture_output=True, text=True,
+        timeout=1800,
+    )
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "AOT-ALL-OK" in res.stdout
