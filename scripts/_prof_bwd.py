@@ -1,0 +1,45 @@
+"""Direct Pallas kernel timings at N=100k: forward matvec and fused symmetric backward
+per column width and precision mode.  Quantifies the round-4 backward changes (single-exp
+k/k' fusion, real-width gv/vg contractions, n_sub=4) against the r3 accounting numbers
+(matvec_high_t32 ~28 ms, fused backward ~113-117 ms, RTT-corrected).
+
+Usage: python scripts/_prof_bwd.py [N]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import gpytorch_tpu as gp
+from gpytorch_tpu.ops import pallas_kernels as pk
+
+
+def sync(v):
+    return float(jnp.sum(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), v, 0.0)))
+
+
+def timeit(tag, fn, *a, reps=4):
+    sync(fn(*a))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(*a))
+        best = min(best, time.perf_counter() - t0)
+    print(f'{{"{tag}": {best:.4f}}}', flush=True)
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    x = jax.random.uniform(jax.random.PRNGKey(0), (N, 3), jnp.float32)
+    for t in (32, 64, 128):
+        g = jax.random.normal(jax.random.PRNGKey(1), (N, t), jnp.float32)
+        v = jax.random.normal(jax.random.PRNGKey(2), (N, t), jnp.float32)
+        with gp.settings.kernel_matvec_high(True):
+            timeit(f"matvec_high_t{t}_s", jax.jit(lambda v: pk._matvec_pallas(x, x, v, pk.RBF)), v)
+            timeit(f"bwd_high_t{t}_s", jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF)), g, v)
+    print("PROF_BWD DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
