@@ -4,6 +4,8 @@ different NLL (VERDICT r2 weak #5: 1.1-nat NLL spread; run D r3: RMSE 0.1795 / N
 
 Usage: python _diag_nlpd.py <noise> <outputscale> <ls1> <ls2> <ls3> [rank ...]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import contextlib
 import sys
 

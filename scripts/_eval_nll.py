@@ -11,6 +11,8 @@ on the CLI (the values bench.py prints per seed), runs the same eval block, and 
 
 Usage: python _eval_nll.py <noise> <outputscale> <l1> <l2> <l3> [N=100000]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import contextlib
 import sys

@@ -6,6 +6,8 @@ construction, so its dense Cholesky log_prob is deterministic and finite.
 
 Usage: python _eval_nll_exact.py <noise> <outputscale> <l1> <l2> <l3>
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import contextlib
 import sys

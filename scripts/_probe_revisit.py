@@ -1,6 +1,8 @@
 """Probe: does Mosaic support ACCUMULATING into an aliased output block whose index map
 revisits blocks non-consecutively across the grid?  (Decides the symmetric-matvec design:
 out_b[j] += K_ijT v_i with j revisited for every i.)"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import jax, jax.numpy as jnp
 import numpy as np

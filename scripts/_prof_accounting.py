@@ -12,6 +12,8 @@ predicted times track the measured ones — the residual column says how much is
 
 Usage: [BENCH_* env overrides as for bench.py] python _prof_accounting.py [N]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -5,6 +5,8 @@ k/k' fusion, real-width gv/vg contractions, n_sub=4) against the r3 accounting n
 
 Usage: python scripts/_prof_bwd.py [N]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

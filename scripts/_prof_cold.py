@@ -1,5 +1,7 @@
 """Dissect the LOVE cold-eval latency at N=100k: preconditioner build, mean CG solve,
 Lanczos root build, NLPD marginal. Run at post-training-like hypers."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import contextlib, time, os, sys
 import jax, jax.numpy as jnp
 import gpytorch_tpu as gp

@@ -3,6 +3,8 @@
 
 Suspects: rank-50 pivoted-Cholesky preconditioner build (50 sequential kernel-row steps),
 probe sampling from P, the fused BBMM backward pass, Adam/param plumbing."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import contextlib, time
 import jax, jax.numpy as jnp
 import gpytorch_tpu as gp

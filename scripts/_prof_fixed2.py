@@ -14,6 +14,8 @@ pieces of `fixed` by timing jitted subcomputations of the EXACT bench configurat
 
 Usage: [BENCH_* envs] python _prof_fixed2.py [N]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import contextlib
 import os
 import sys

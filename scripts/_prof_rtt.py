@@ -3,6 +3,8 @@ timing methodology pays (VERDICT r2 weak #3: ~0.25 s/step of the warm step is
 unattributed).  If a scalar readback of an already-computed value costs ~RTT, the
 per-step `_sync` in the timed loop charges one tunnel round trip to every step —
 time K chained steps with ONE final sync to get the true device-side step cost."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

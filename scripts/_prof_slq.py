@@ -9,6 +9,8 @@ time jitted micro-programs matching the flagship step's non-matvec forward work.
 
 Usage: python _prof_slq.py [N]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,5 +1,7 @@
 """Dissect the N=100k train step: per-matvec cost by precision mode at T=32,
 forward-only vs value_and_grad, and CG-iteration scaling."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import contextlib, time, os, sys
 import jax, jax.numpy as jnp
 import gpytorch_tpu as gp
