@@ -139,6 +139,11 @@ class _NoisyMatvecOperator(DenseLinearOperator):
         pert = jnp.sin(jnp.arange(n, dtype=out.dtype) * 2.39996)[..., :, None]
         return out + self.noise_scale * pert * jnp.sign(rhs)
 
+    def _is_known_psd(self) -> bool:
+        # the stand-in models a PSD kernel matrix whose *matvec* carries rounding
+        # noise — the matrix itself is PSD, exactly like LazyEvaluatedKernel on chip
+        return True
+
 
 def test_inv_root_ritz_floor_kills_rounding_spikes():
     """Spurious below-λ_min Ritz values must not become 1/√(eig_floor) spikes in the
@@ -158,6 +163,13 @@ def test_inv_root_ritz_floor_kills_rounding_spikes():
     )
     bound = wrapped._eig_lower_bound()
     assert bound is not None and float(bound[0] if bound.ndim else bound) == sigma2
+    # a base that does NOT declare PSD-ness gets no σ² floor (Weyl needs λ_min(K) ≥ 0):
+    # AddedDiag must return None rather than assume an arbitrary symmetric base is PSD
+    undeclared = AddedDiagLinearOperator(
+        DenseLinearOperator(jnp.asarray(A)),
+        ConstantDiagLinearOperator(jnp.asarray([sigma2]), n),
+    )
+    assert undeclared._eig_lower_bound() is None
     Ri = lanczos_inv_root(wrapped, max_rank=40)
     # every column's norm is bounded by 1/√σ² = 10 when the floor holds (spikes would
     # be ~1/√1e-8 = 1e4)
@@ -178,9 +190,18 @@ def test_eig_lower_bound_algebra():
     c = ConstantDiagLinearOperator(jnp.asarray([0.25]), 4)
     assert float(c._eig_lower_bound()) == 0.25
     assert float(IdentityLinearOperator(3)._eig_lower_bound()) == 1.0
-    # PSD base with unknown bound + σ²I → σ²
+    # *declared*-PSD base with unknown bound + σ²I → σ² (Weyl needs λ_min(K) ≥ 0, so
+    # the floor only fires when the base states PSD-ness by construction — kernel
+    # matrices on the production path; an undeclared dense base must give None)
+    class _KnownPsdDense(DenseLinearOperator):
+        def _is_known_psd(self) -> bool:
+            return True
+
     A = _spd(jax.random.PRNGKey(1), 8)
-    ad = AddedDiagLinearOperator(DenseLinearOperator(A), c.add_diagonal(jnp.asarray(0.0)))
+    assert AddedDiagLinearOperator(
+        DenseLinearOperator(A), c.add_diagonal(jnp.asarray(0.0))
+    )._eig_lower_bound() is None
+    ad = AddedDiagLinearOperator(_KnownPsdDense(A), c.add_diagonal(jnp.asarray(0.0)))
     b = ad._eig_lower_bound()
     assert b is not None and abs(float(jnp.ravel(b)[0]) - 0.25) < 1e-7
     # stacked diagonals accumulate
