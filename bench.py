@@ -686,4 +686,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the driver records stdout's last line;
+        # a mid-run TPU-worker crash must still yield ONE honest JSON line (metric
+        # present, value null, error recorded) instead of an empty capture.
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        print(json.dumps({
+            "metric": f"mbcg_train_iter_n{int(sys.argv[1]) if len(sys.argv) > 1 else 100_000}_wallclock",
+            "value": None,
+            "unit": "s/iter",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {str(e)[:200]}",
+        }))
+        raise SystemExit(1)
