@@ -137,13 +137,13 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         x2 = jnp.broadcast_to(self.x2, batch + self.x2.shape[-2:]).reshape((-1,) + self.x2.shape[-2:])
         ls_b = jnp.broadcast_to(ls, batch + (1, ls.shape[-1])).reshape((-1, 1, ls.shape[-1]))
         rhs_b = rhs.reshape((-1,) + rhs.shape[-2:])
+        if outputscale is not None:
+            # input-side scale association — same rationale as _fused_single
+            os_b = jnp.broadcast_to(outputscale, batch).reshape((-1,))
+            rhs_b = rhs_b * os_b[:, None, None]
         if periodic:
             per = jnp.broadcast_to(kernel.period_length, batch + (1, kernel.period_length.shape[-1]))
             per = per.reshape((-1, 1, kernel.period_length.shape[-1]))
-        os_b = None
-        if outputscale is not None:
-            os_b = jnp.broadcast_to(outputscale, batch).reshape((-1,))
-
         def one(args):
             if periodic:
                 x1i, x2i, lsi, ri, peri = args[:5]
@@ -156,21 +156,24 @@ class LazyEvaluatedKernelOperator(LinearOperator):
 
         args = (x1, x2, ls_b, rhs_b) + ((per,) if periodic else ())
         outs = jax.lax.map(one, args)
-        if os_b is not None:
-            outs = outs * os_b[:, None, None]
         return outs.reshape(batch + outs.shape[-2:])
 
     def _fused_single(self, kernel, ktype, periodic, ls, x1, x2, rhs, outputscale):
         from ..ops import pallas_kernels as pk
 
+        if outputscale is not None:
+            # Associate the ScaleKernel outputscale onto the rhs: (σ²K)·v = K·(σ²v), and
+            # putting it on the INPUT side keeps the primal fused matvec dead in the VJP —
+            # σ²_bar reuses the backward kernel's dv (σ²_bar = Σ v⊙dv) instead of
+            # resurrecting a full K·v pass just to contract it with the cotangent
+            # (measured ~27 ms/step at N=100k in the flagship training backward).
+            rhs = rhs * outputscale
         if periodic:
             per = kernel.period_length
             out = pk.fused_periodic_matvec(x1 / per, x2 / per, 1.0 / (ls[0] ** 2), rhs)
         else:
             center = jax.lax.stop_gradient(jnp.mean(x1, axis=-2, keepdims=True))
             out = pk.fused_kernel_matvec((x1 - center) / ls, (x2 - center) / ls, rhs, ktype)
-        if outputscale is not None:
-            out = out * outputscale
         return out
 
     def _matmul_chunked(self, rhs):
