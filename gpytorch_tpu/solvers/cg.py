@@ -125,7 +125,12 @@ def linear_cg(
     # column and stop once no column has improved for `stall_window` iterations.  This is
     # what makes tolerance-based early exit actually fire on TPU.
     stall_window = int(settings.cg_stall_window.value())
-    best_resid0 = jnp.full(batch_t, jnp.inf, dtype=dt)
+    # Seed best-iterate tracking with the INITIAL iterate: a truncated solve (rhs-warm
+    # probe columns stopped at the NTRI floor) must never return an iterate worse than
+    # its starting point (CG's 2-norm residual can overshoot several-fold early before
+    # the A-norm contraction pulls it back), and a warm-started rhs column must never
+    # lose a good x0 to a first-iteration overshoot.
+    best_resid0 = _col_norm(r0)
     x_best0 = x0
     since_improve0 = jnp.zeros((), dtype=jnp.int32)
 
