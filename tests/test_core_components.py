@@ -369,3 +369,34 @@ def test_linear_cg_warm_start():
     assert jnp.max(jnp.abs(cold.solution - xs)) < 1e-3
     with _pytest.raises(ValueError):
         linear_cg(lambda v: A @ v, b, n_tridiag_iter=3, x0=xs)
+
+
+def test_linear_cg_truncated_solve_never_worse_than_start():
+    """Best-iterate tracking includes the INITIAL iterate: a solve truncated at the
+    tridiag floor (rhs-warm probe columns) must not return an iterate with a worse
+    residual than its starting point, even though CG's 2-norm residual can overshoot
+    several-fold in early iterations on an ill-conditioned operator."""
+    from gpytorch_tpu.solvers.cg import linear_cg
+
+    key = jax.random.PRNGKey(0)
+    # ill-conditioned SPD: RBF-like Gram + small jitter (2-norm residual overshoots)
+    x = jax.random.normal(key, (400, 3))
+    d2 = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, -1)
+    A = jnp.exp(-0.5 * d2) + 0.02 * jnp.eye(400)
+    b = jax.random.normal(jax.random.PRNGKey(1), (400, 4))
+    b_norm = jnp.linalg.norm(b, axis=0)
+
+    # zero-init columns truncated at 5 iterations: returned residual <= ||b|| per column
+    res = linear_cg(lambda v: A @ v, b, tolerance=1e-8, max_iter=5)
+    r_trunc = jnp.linalg.norm(b - A @ res.solution, axis=0)
+    assert bool(jnp.all(r_trunc <= b_norm * (1.0 + 1e-6))), (r_trunc / b_norm)
+
+    # warm start at the exact solution with a loose gate: x0 survives any overshoot
+    xs = jnp.linalg.solve(A, b[:, :1])
+    x0 = jnp.concatenate([xs, jnp.zeros_like(b[:, 1:])], -1)
+    res_w = linear_cg(lambda v: A @ v, b, tolerance=1.0, max_iter=6,
+                      n_tridiag_iter=6, x0=x0, conv_cols=1)
+    r_rhs = jnp.linalg.norm(b[:, :1] - A @ res_w.solution[:, :1]) / b_norm[0]
+    assert float(r_rhs) < 1e-4, float(r_rhs)
+    r_probe = jnp.linalg.norm(b[:, 1:] - A @ res_w.solution[:, 1:], axis=0)
+    assert bool(jnp.all(r_probe <= b_norm[1:] * (1.0 + 1e-6))), (r_probe / b_norm[1:])
