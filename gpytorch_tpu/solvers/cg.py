@@ -125,11 +125,19 @@ def linear_cg(
     # column and stop once no column has improved for `stall_window` iterations.  This is
     # what makes tolerance-based early exit actually fire on TPU.
     stall_window = int(settings.cg_stall_window.value())
-    # Seed best-iterate tracking with the INITIAL iterate: a truncated solve (rhs-warm
-    # probe columns stopped at the NTRI floor) must never return an iterate worse than
-    # its starting point (CG's 2-norm residual can overshoot several-fold early before
-    # the A-norm contraction pulls it back), and a warm-started rhs column must never
-    # lose a good x0 to a first-iteration overshoot.
+    # Seed best-iterate tracking with the INITIAL iterate: a convergence-gated column must
+    # never return an iterate worse than its starting point — in particular a warm-started
+    # rhs column must not lose a good x0 to a first-iteration 2-norm overshoot (CG's 2-norm
+    # residual can grow several-fold early; only the A-norm error is monotone).
+    #
+    # Truncated columns (the probe columns beyond ``conv_cols`` in rhs-warm mBCG, stopped
+    # at the NTRI floor) deliberately do NOT use 2-norm best tracking: on the flagship
+    # N=100k operator their 2-norm residual jumps ~4x at iteration 1 and stays flat for
+    # tens of iterations while the A-norm error — the metric that bounds the SLQ
+    # logdet-gradient bias — contracts monotonically, so the FINAL Krylov iterate is the
+    # right one and argmin-2-norm would hand back an arbitrary early iterate (or x0=0,
+    # which guts the probe trace term entirely — measured on-chip as a training-basin
+    # collapse, RMSE 0.77).
     best_resid0 = _col_norm(r0)
     x_best0 = x0
     since_improve0 = jnp.zeros((), dtype=jnp.int32)
@@ -199,7 +207,13 @@ def linear_cg(
     )
     k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, _ = jax.lax.while_loop(cond, body, state0)
 
-    solution = x_best * rhs_norm
+    if conv_cols is not None:
+        # gated columns: best 2-norm iterate; truncated columns: final (A-norm-optimal)
+        col_gated = (jnp.arange(x.shape[-1]) < conv_cols)
+        x_out = jnp.where(col_gated, x_best, x)
+    else:
+        x_out = x_best
+    solution = x_out * rhs_norm
     solution = jnp.where(rhs_is_zero, jnp.zeros_like(solution), solution)
     if settings.verbose_linalg.on():
         # jit-compatible runtime observability: iteration count + residual summary per solve
