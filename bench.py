@@ -24,7 +24,9 @@ in the calibrated basin: NLL −0.2535/−0.2537/−0.2675 (seeds 2/3/4), spread
 RMSE 0.179 everywhere (the task's oracle floor).  Round-3 reference points (floor
 1.5e-2, 31 probes, NTRI=10, seeds 2/3): 0.605 s/iter flat, 2.95× the cold mean
 (1.784 s/iter at 37 late-training iters) at equal RMSE.  Round-4 NTRI ladder at equal
-quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496.  Accounting (cold fit 194 ms fixed +
+quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496 — NTRI=8 is the shipped default
+(validated across queues E/G/H: 5 seeds old probe semantics + 3 seeds final-iterate
+semantics, RMSE 0.179 everywhere, MFU ≈ 15.5%).  Accounting (cold fit 194 ms fixed +
 35.9 ms/iter R²=0.95; per-component split and round-4 revisions in
 docs/perf-accounting.md).  Guard rails, each measured: NTRI=5 collapses the noise hyper
 (2.32, RMSE 0.29 — probe solves too truncated even with VR); flat LR re-rolls terminal
@@ -89,10 +91,12 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "63"))))
     # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
-    # rhs-warm mode = ALSO the probe-solve iteration floor, where 10 is the validated
-    # quality knee (5 collapses the noise hyper: probe solves too truncated for the
-    # logdet gradient even with VR; 20 costs 0.97 s/step for no quality gain)
-    _ntri_default = "10" if _wm == "rhs" else "5"
+    # rhs-warm mode = ALSO the probe-solve iteration floor.  8 is the round-4 validated
+    # knee under the cosine LR tail + final-iterate probe semantics: 0.497 s/iter at
+    # RMSE 0.179 / joint NLL −0.253..−0.267 across 8 measured seeds (queues E/G/H,
+    # docs/perf-accounting.md).  5 collapses the noise hyper (probe solves too truncated
+    # for the logdet gradient even with VR); 20 costs 0.97 s/step for no quality gain.
+    _ntri_default = "8" if _wm == "rhs" else "5"
     st.enter_context(
         gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", _ntri_default)))
     )
