@@ -578,7 +578,7 @@ def main():
             apply_P, _, _ = covar._preconditioner()
             rhs = jax.random.normal(jax.random.PRNGKey(9), (N, t_cols), dtype=jnp.float32)
             _ntri = 0 if (_warm or _os.environ.get("BENCH_SKIP_LOGDET", "0") == "1") else int(
-                _os.environ.get("BENCH_NTRI", "10" if _warm_rhs else "5")
+                _os.environ.get("BENCH_NTRI", "8" if _warm_rhs else "5")
             )
             res = linear_cg(
                 lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
