@@ -102,6 +102,9 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     )
     st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "50"))))
     st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "5"))))
+    # Unroll CG's mandatory floor iterations as straight-line XLA (the rhs-warm default
+    # runs exactly NTRI iterations, all of them floor-forced, so the whole solve unrolls)
+    st.enter_context(gp.settings.cg_unroll(int(os.environ.get("BENCH_UNROLL", "0"))))
     # VR logdet gradient is ON by default with rhs-warm solves: it confines the probe
     # truncation error to the small variance-reduced residual term (costs ~50 ms/step
     # for the differentiable P rebuild in the backward)

@@ -271,6 +271,18 @@ class cg_stall_window(_value_context):
     _global_value = 10
 
 
+class cg_unroll(_value_context):
+    """Unroll up to this many of CG's mandatory floor iterations (the first
+    ``n_tridiag_iter`` iterations, which the while-loop condition forces to run
+    regardless of convergence) as straight-line XLA code before entering the
+    ``lax.while_loop``.  Semantically identical to the pure while-loop — the unrolled
+    phase is exactly the iterations the loop could never skip — but XLA can fuse across
+    the straight-line iterations and drops the loop bookkeeping, which matters when the
+    floor IS the whole solve (the rhs-warm flagship runs exactly NTRI iterations).
+    0 disables.  TPU-specific; no reference analogue."""
+    _global_value = 0
+
+
 class solve_column_chunk(_value_context):
     """Max rhs columns per CG dispatch in eager (non-jit) ``LinearOperator.solve`` calls.
 

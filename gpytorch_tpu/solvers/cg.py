@@ -205,7 +205,15 @@ def linear_cg(
         jnp.asarray(0, dtype=jnp.int32), x0, r0, z0, p0, rz0, alphas0, betas0, converged0,
         best_resid0, x_best0, since_improve0,
     )
-    k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, _ = jax.lax.while_loop(cond, body, state0)
+    # Unroll the mandatory floor iterations (cond forces k < n_tridiag_iter to run no
+    # matter what) as straight-line code: XLA fuses across them and skips the while-loop
+    # bookkeeping.  The while_loop then handles any convergence-gated continuation — it
+    # exits immediately when the floor was the whole solve (the rhs-warm flagship).
+    n_unroll = int(min(n_tridiag_iter, settings.cg_unroll.value(), max_iter))
+    state = state0
+    for _ in range(n_unroll):
+        state = body(state)
+    k, x, r, z, p, rz, alphas, betas, conv, best_resid, x_best, _ = jax.lax.while_loop(cond, body, state)
 
     if conv_cols is not None:
         # gated columns: best 2-norm iterate; truncated columns: final (A-norm-optimal)

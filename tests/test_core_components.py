@@ -371,6 +371,51 @@ def test_linear_cg_warm_start():
         linear_cg(lambda v: A @ v, b, n_tridiag_iter=3, x0=xs)
 
 
+def test_linear_cg_unroll_parity():
+    """settings.cg_unroll unrolls the mandatory floor iterations as straight-line code;
+    results match the pure while-loop to fusion-level rounding (the unrolled iterations
+    run the same math, but XLA fuses straight-line code differently, so bit-identity is
+    not guaranteed)."""
+    from gpytorch_tpu.solvers.cg import linear_cg
+
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (80, 80))
+    A = A @ A.T + 80 * jnp.eye(80)
+    b = jax.random.normal(jax.random.PRNGKey(4), (80, 6))
+
+    def run():
+        return linear_cg(lambda v: A @ v, b, tolerance=1e-6, max_iter=60, n_tridiag_iter=8)
+
+    base = run()
+    for n_unroll in (4, 8, 16):
+        with gp.settings.cg_unroll(n_unroll):
+            u = run()
+        assert abs(int(u.num_iters) - int(base.num_iters)) <= 1
+        np.testing.assert_allclose(np.asarray(u.solution), np.asarray(base.solution), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(u.alphas), np.asarray(base.alphas), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(u.betas), np.asarray(base.betas), rtol=1e-4, atol=1e-6)
+    # rhs-warm shape: gated rhs column + truncated probe columns, under jit
+    probes = jax.random.normal(jax.random.PRNGKey(5), (80, 4))
+    rhs_all = jnp.concatenate([b[:, :1], probes], axis=-1)
+
+    @jax.jit
+    def run_warm(unroll_flag):
+        del unroll_flag
+        return linear_cg(
+            lambda v: A @ v, rhs_all, tolerance=1e-6, max_iter=60, n_tridiag_iter=8,
+            x0=jnp.zeros_like(rhs_all), conv_cols=1,
+        )
+
+    base_w = linear_cg(
+        lambda v: A @ v, rhs_all, tolerance=1e-6, max_iter=60, n_tridiag_iter=8,
+        x0=jnp.zeros_like(rhs_all), conv_cols=1,
+    )
+    with gp.settings.cg_unroll(8):
+        u_w = run_warm(0)
+    np.testing.assert_allclose(np.asarray(u_w.solution), np.asarray(base_w.solution), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_w.alphas), np.asarray(base_w.alphas), rtol=1e-4, atol=1e-6)
+
+
 def test_linear_cg_truncated_solve_column_semantics():
     """Convergence-gated columns never return an iterate worse than their start (the
     2-norm best tracking is seeded with the initial residual, so a warm rhs column
