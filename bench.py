@@ -24,9 +24,10 @@ in the calibrated basin: NLL −0.2535/−0.2537/−0.2675 (seeds 2/3/4), spread
 RMSE 0.179 everywhere (the task's oracle floor).  Round-3 reference points (floor
 1.5e-2, 31 probes, NTRI=10, seeds 2/3): 0.605 s/iter flat, 2.95× the cold mean
 (1.784 s/iter at 37 late-training iters) at equal RMSE.  Round-4 NTRI ladder at equal
-quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496 — NTRI=8 is the shipped default
-(validated across queues E/G/H: 5 seeds old probe semantics + 3 seeds final-iterate
-semantics, RMSE 0.179 everywhere, MFU ≈ 15.5%).  Accounting (cold fit 194 ms fixed +
+quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496, 7 → 0.460 — NTRI=7 is the shipped
+default (queues I/J: 3 seeds at RMSE 0.179, joint NLL −0.253..−0.273, noise
+0.021-0.024, MFU ≈ 15.2%; NTRI=8 was validated across 8 seeds in queues E/G/H first).
+Accounting (cold fit 194 ms fixed +
 35.9 ms/iter R²=0.95; per-component split and round-4 revisions in
 docs/perf-accounting.md).  Guard rails, each measured: NTRI=5 collapses the noise hyper
 (2.32, RMSE 0.29 — probe solves too truncated even with VR); flat LR re-rolls terminal
@@ -91,12 +92,14 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "63"))))
     # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
-    # rhs-warm mode = ALSO the probe-solve iteration floor.  8 is the round-4 validated
-    # knee under the cosine LR tail + final-iterate probe semantics: 0.497 s/iter at
-    # RMSE 0.179 / joint NLL −0.253..−0.267 across 8 measured seeds (queues E/G/H,
-    # docs/perf-accounting.md).  5 collapses the noise hyper (probe solves too truncated
-    # for the logdet gradient even with VR); 20 costs 0.97 s/step for no quality gain.
-    _ntri_default = "8" if _wm == "rhs" else "5"
+    # rhs-warm mode = ALSO the probe-solve iteration floor.  7 is the round-4 validated
+    # knee under the cosine LR tail + final-iterate probe semantics: 0.459-0.460 s/iter
+    # at RMSE 0.179 / joint NLL −0.253..−0.273 / calibrated noise 0.021-0.024 across 3
+    # measured seeds (queues I/J, docs/perf-accounting.md; NTRI=8 = 0.497 s/iter at the
+    # same quality, 8 seeds, queues E/G/H).  5 collapses the noise hyper (probe solves
+    # too truncated for the logdet gradient even with VR); 20 costs 0.97 s/step for no
+    # quality gain.
+    _ntri_default = "7" if _wm == "rhs" else "5"
     st.enter_context(
         gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", _ntri_default)))
     )
@@ -581,7 +584,7 @@ def main():
             apply_P, _, _ = covar._preconditioner()
             rhs = jax.random.normal(jax.random.PRNGKey(9), (N, t_cols), dtype=jnp.float32)
             _ntri = 0 if (_warm or _os.environ.get("BENCH_SKIP_LOGDET", "0") == "1") else int(
-                _os.environ.get("BENCH_NTRI", "8" if _warm_rhs else "5")
+                _os.environ.get("BENCH_NTRI", "7" if _warm_rhs else "5")
             )
             res = linear_cg(
                 lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
