@@ -215,7 +215,15 @@ def main():
     import os as _osf
 
     _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "2.0e-2"))
-    lik = GaussianLikelihood(noise_constraint=gp.constraints.GreaterThan(_noise_floor))
+    # BENCH_NOISE_PRIOR=lognormal: LogNormal(−4, 1) default noise prior — the
+    # task-agnostic standardized-data default (botorch's modern choice) — meant to
+    # replace the task-tuned constraint floor (pair with BENCH_NOISE_FLOOR=1e-4).
+    # VERDICT r4 ask #3; quality sweep in docs/perf-accounting.md.
+    _np_mode = _osf.environ.get("BENCH_NOISE_PRIOR", "none")
+    _noise_prior = gp.priors.LogNormalPrior(-4.0, 1.0) if _np_mode == "lognormal" else None
+    lik = GaussianLikelihood(
+        noise_prior=_noise_prior, noise_constraint=gp.constraints.GreaterThan(_noise_floor)
+    )
     model = Model(train_x, train_y, lik)
     model.likelihood.noise = 0.1
     model.covar_module.base_kernel.lengthscale = 0.5
@@ -344,8 +352,20 @@ def main():
         _sync(loss)
         times.append(time.time() - t0)
     p_timed = p  # hypers as of the timed window — MFU is measured against THESE
+    # Chained-dispatch window: 8 more steps with ONE final sync.  The per-step synced
+    # median above pays one axon-tunnel round-trip (~30 ms, scripts/_prof_rtt.py) per
+    # step — a measurement artifact of this tunneled dev setup; a real training loop
+    # (and the quality loop below) dispatches steps back-to-back.  This is the honest
+    # device-side per-step cost, and what MFU is measured against.
+    t0 = time.time()
+    for _ in range(7):
+        p, s, loss, solver_st = step(p, s, _next_key(), solver_st)
+    p, s, loss, solver_st = step(p, s, _next_key(), solver_st)
+    _sync(loss)
+    s_per_iter_device = (time.time() - t0) / 8.0
+    times_chained_total = time.time() - t0
     times.sort()
-    s_per_iter = times[len(times) // 2]  # median
+    s_per_iter = times[len(times) // 2]  # median (per-step synced — includes tunnel RTT)
 
     # more steps for quality before eval (total budget BENCH_STEPS Adam iters at lr 0.1 —
     # the stagnation-exit speedup buys a bigger optimization budget than the reference
@@ -358,8 +378,8 @@ def main():
     _ema_decay = float(os.environ.get("BENCH_EMA", "0"))
     _polish = int(os.environ.get("BENCH_POLISH", "0"))
     p_ema = p
-    for i in range(_total_steps - 9):
-        _fn = polish_step if (_polish > 0 and i >= _total_steps - 9 - _polish) else step
+    for i in range(_total_steps - 17):  # 1 compile + 8 synced + 8 chained already ran
+        _fn = polish_step if (_polish > 0 and i >= _total_steps - 17 - _polish) else step
         p, s, loss, solver_st = _fn(p, s, _next_key(), solver_st)
         if _ema_decay > 0:
             p_ema = jax.tree_util.tree_map(
@@ -371,7 +391,7 @@ def main():
     # mean over the whole run: late steps run more CG iterations than the timed window
     # (the system hardens as the noise converges), so this is the honest amortized cost
     # steps counted: 8 timed + (_total_steps - 9) quality steps; the compile step is excluded
-    train_total_s = sum(times) + (time.time() - _t_rest)
+    train_total_s = sum(times) + times_chained_total + (time.time() - _t_rest)
     mean_s_per_iter = train_total_s / (_total_steps - 1)
     _t(f"training done ({_total_steps} steps), median {s_per_iter:.3f} s/iter, "
        f"mean {mean_s_per_iter:.3f}")
@@ -630,11 +650,16 @@ def main():
         cg_iters_measured = None
     if cg_iters_timed is not None:
         flops_matvec = N * N * (3 * D + 8 + 2 * t_cols)
-        # fwd CG iterations + the fused BBMM backward (one tile build computing dv + the
-        # two weighted-moment reductions ≈ 3 matvec-equivalents of NOMINAL flops —
-        # conservative)
-        flops_step = (cg_iters_timed + 3) * flops_matvec
-        mfu_pct = 100.0 * flops_step / (s_per_iter * _PEAK_FLOPS)
+        # Executed-work accounting: cg_iters forward matvecs, +1 warm-start residual
+        # matvec (rhs-warm mode forms r0 = b − A x0), +2 for the fused BBMM backward
+        # (tile build + the two weighted-moment contractions gv/vg ≈ 2 matvec-equivalents
+        # of NOMINAL flops; the dead dv = Kᵀg product is skipped —
+        # settings.skip_matvec_cotangent).  Denominator: the chained-dispatch device
+        # step time (the per-step synced median pays a ~30 ms tunnel RTT per step that
+        # a real training loop never sees).
+        _extra_mv = 3 if _warm_rhs else 2
+        flops_step = (cg_iters_timed + _extra_mv) * flops_matvec
+        mfu_pct = 100.0 * flops_step / (s_per_iter_device * _PEAK_FLOPS)
     else:
         mfu_pct = None
 
@@ -682,6 +707,7 @@ def main():
         "cg_iters": cg_iters_measured,
         "cg_iters_timed": cg_iters_timed,
         "mean_s_per_iter": round(mean_s_per_iter, 4),
+        "s_per_iter_device": round(s_per_iter_device, 4),
         **love,
     }
     if mfu_error is not None:

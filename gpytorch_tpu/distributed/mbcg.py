@@ -128,8 +128,13 @@ def _snm_bwd(cfg, n_global, saved, g):
         term_ld = n_global * jnp.mean(est)
         return term_iq + term_ld
 
-    _, vjp = jax.vjp(quad_through_K, params)
-    (p_bar,) = vjp(jnp.asarray(scale, x_local.dtype))
+    # every matvec operand above is stop-gradiented — skip the dead dv = Kᵀg product in
+    # the fused-kernel VJP (settings.skip_matvec_cotangent), one full matvec saved/step
+    from .. import settings
+
+    with settings.skip_matvec_cotangent(True):
+        _, vjp = jax.vjp(quad_through_K, params)
+        (p_bar,) = vjp(jnp.asarray(scale, x_local.dtype))
     # mean-constant gradient: d loss/dμ = −(1ᵀ K⁻¹ (y−μ)) / n_global · g
     sum_solve = jax.lax.psum(jnp.sum(s_diff), cfg.axis_name)
     ls_bar, os_bar, noise_bar, mean_bar_from_quad = p_bar

@@ -28,6 +28,32 @@ def default_postprocess_script(x):
     return x
 
 
+class Distance:
+    """Pairwise-distance helper (reference: kernel.py:64 — a torch.nn.Module there; a plain
+    callable pair here, since the distance ops are stateless jnp functions)."""
+
+    def __init__(self, postprocess=None):
+        if postprocess is not None:
+            import warnings
+
+            warnings.warn(
+                "The `postprocess` argument is deprecated. See the reference kernel.py:64.",
+                DeprecationWarning,
+            )
+        self._postprocess = postprocess
+
+    def _post(self, res):
+        return self._postprocess(res) if self._postprocess is not None else res
+
+    def _sq_dist(self, x1, x2, postprocess=False, x1_eq_x2=False):
+        res = _sq_dist_op(x1, x2, x1_eq_x2)
+        return self._post(res) if postprocess else res
+
+    def _dist(self, x1, x2, postprocess=False, x1_eq_x2=False):
+        res = _dist_op(x1, x2, x1_eq_x2)
+        return self._post(res) if postprocess else res
+
+
 class Kernel(Module):
     has_lengthscale = False
 

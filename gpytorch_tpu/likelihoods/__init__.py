@@ -20,6 +20,7 @@ from .non_gaussian import (
 )
 from .noise_models import (
     FixedGaussianNoise,
+    Noise,
     HeteroskedasticNoise,
     HomoskedasticNoise,
     MultitaskHomoskedasticNoise,
@@ -47,6 +48,7 @@ __all__ = [
     "MultitaskGaussianLikelihood",
     "_MultitaskGaussianLikelihoodBase",
     "MultitaskHomoskedasticNoise",
+    "Noise",
     "_GaussianLikelihoodBase",
     "_OneDimensionalLikelihood",
 ]

@@ -13,7 +13,17 @@ from ..core.module import Module
 from ..linop import ConstantDiagLinearOperator, DiagLinearOperator
 
 
-class _HomoskedasticNoiseBase(Module):
+class Noise(Module):
+    """Abstract base for noise-covariance modules (reference: noise_models.py:20)."""
+
+    def forward(self, *params, shape=None):
+        raise NotImplementedError
+
+    def __call__(self, *params, shape=None, **kwargs):
+        return self.forward(*params, shape=shape, **kwargs)
+
+
+class _HomoskedasticNoiseBase(Noise):
     def __init__(self, noise_prior=None, noise_constraint=None, batch_shape=(), num_tasks=1, dtype=jnp.float32):
         super().__init__()
         self.batch_shape = tuple(batch_shape)
@@ -75,7 +85,7 @@ class MultitaskHomoskedasticNoise(_HomoskedasticNoiseBase):
         super().__init__(noise_prior, noise_constraint, batch_shape, num_tasks=num_tasks, dtype=dtype)
 
 
-class HeteroskedasticNoise(Module):
+class HeteroskedasticNoise(Noise):
     """Noise modeled by a second GP/NN over inputs (reference: noise_models.py:109)."""
 
     def __init__(self, noise_model, noise_indices=None, noise_constraint=None):
@@ -104,7 +114,7 @@ class HeteroskedasticNoise(Module):
         return self.forward(*params, shape=shape)
 
 
-class FixedGaussianNoise(Module):
+class FixedGaussianNoise(Noise):
     """User-supplied per-point noise (reference: noise_models.py:145)."""
 
     def __init__(self, noise):

@@ -193,11 +193,15 @@ class AddedDiagLinearOperator(LinearOperator):
         U = jnp.matmul(jax.lax.stop_gradient(Lt), W * inv_s[..., None, :], precision=_hp)
         coef = jnp.where(active, s2 / (1.0 + s2), 0.0)  # (..., k), each in [0, 1)
 
+        # Hoist the D^{-1/2} scaling into the eigenbasis factor once (Ũ = D^{-1/2}U):
+        #   P⁻¹v = D^{-1/2}[w − U diag(c) Uᵀw], w = D^{-1/2}v  ≡  D⁻¹v − Ũ diag(c) Ũᵀv.
+        # Identical arithmetic to rounding, but the per-apply elementwise traffic drops
+        # from four (n, t) passes to one fused subtract — CG pays this every iteration.
+        Ud = U * dsqrt_inv[..., :, None]
+
         def apply_inv(v):
-            w = v * dsqrt_inv[..., :, None]
-            u = jnp.matmul(jnp.swapaxes(U, -1, -2), w, precision=_hp)
-            out = w - jnp.matmul(U, coef[..., :, None] * u, precision=_hp)
-            return out * dsqrt_inv[..., :, None]
+            u = jnp.matmul(jnp.swapaxes(Ud, -1, -2), v, precision=_hp)
+            return v * dinv[..., :, None] - jnp.matmul(Ud, coef[..., :, None] * u, precision=_hp)
         from .diag import DiagLinearOperator
         from .root import LowRankRootAddedDiagLinearOperator, RootLinearOperator
 

@@ -13,6 +13,29 @@ from .predictive_log_likelihood import PredictiveLogLikelihood
 from .sum_marginal_log_likelihood import SumMarginalLogLikelihood
 from .variational_elbo import GammaRobustVariationalELBO, VariationalELBO
 
+import warnings as _warnings
+
+
+# Deprecated warning shims (reference: gpytorch/mlls/__init__.py:23-37 — "Deprecated for
+# 0.4 release"; kept for 100% public-name parity)
+class VariationalMarginalLogLikelihood(VariationalELBO):
+    def __init__(self, *args, **kwargs):
+        _warnings.warn(
+            "VariationalMarginalLogLikelihood is deprecated. Please use VariationalELBO instead.",
+            DeprecationWarning,
+        )
+        super().__init__(*args, **kwargs)
+
+
+class VariationalELBOEmpirical(VariationalELBO):
+    def __init__(self, *args, **kwargs):
+        _warnings.warn(
+            "VariationalELBOEmpirical is deprecated. Please use VariationalELBO instead.",
+            DeprecationWarning,
+        )
+        super().__init__(*args, **kwargs)
+
+
 __all__ = [
     "AddedLossTerm",
     "DeepApproximateMLL",
@@ -27,6 +50,8 @@ __all__ = [
     "PredictiveLogLikelihood",
     "SumMarginalLogLikelihood",
     "VariationalELBO",
+    "VariationalELBOEmpirical",
+    "VariationalMarginalLogLikelihood",
     "_ApproximateMarginalLogLikelihood",
 ]
 

@@ -24,8 +24,18 @@ class AbstractVariationalGP(ApproximateGP):
         super().__init__(*args, **kwargs)
 
 
+class PyroVariationalGP(ApproximateGP):
+    # reference models/__init__.py:27-31: deprecated rename shim
+    def __init__(self, *args, **kwargs):
+        import warnings
+
+        warnings.warn("PyroVariationalGP has been renamed to PyroGP.", DeprecationWarning)
+        super().__init__(*args, **kwargs)
+
+
 __all__ = [
     "AbstractVariationalGP",
+    "PyroVariationalGP",
     "VariationalGP",
     "deep_gps",
     "exact_prediction_strategies",

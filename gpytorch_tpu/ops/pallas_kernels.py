@@ -396,7 +396,7 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
 # and dx1+dx2 share one weighted-moment reduction via W := k'·(g vᵀ + v gᵀ).
 # ----------------------------------------------------------------------------------------
 
-def _bwd_fused_pallas(x, g, v, kernel_type: int):
+def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
     from jax.experimental import pallas as pl
 
     from .. import settings
@@ -405,8 +405,11 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
     if v.shape[1] > max_t:
         dv_tot, dx_tot = None, None
         for i in range(0, v.shape[1], max_t):
-            dv_p, dx_p = _bwd_fused_pallas(x, g[:, i : i + max_t], v[:, i : i + max_t], kernel_type)
-            dv_tot = dv_p if dv_tot is None else jnp.concatenate([dv_tot, dv_p], axis=1)
+            dv_p, dx_p = _bwd_fused_pallas(
+                x, g[:, i : i + max_t], v[:, i : i + max_t], kernel_type, need_dv=need_dv
+            )
+            if need_dv:
+                dv_tot = dv_p if dv_tot is None else jnp.concatenate([dv_tot, dv_p], axis=1)
             dx_tot = dx_p if dx_tot is None else dx_tot + dx_p
         return dv_tot, dx_tot
     n, d = x.shape
@@ -440,7 +443,14 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
         xp2, gp2, vp2 = xp, gp, vp
     xp2t = jnp.swapaxes(xp2, 0, 1)
 
-    def kernel(x1_ref, x2_ref, x2t_ref, gi_ref, gj_ref, vi_ref, vj_ref, dv_ref, dx_ref):
+    def kernel(x1_ref, x2_ref, x2t_ref, gi_ref, gj_ref, vi_ref, vj_ref, *out_refs):
+        # need_dv=False drops the dv output AND its Kᵀg MXU product entirely
+        # (settings.skip_matvec_cotangent: the mBCG backward stop-gradients v, so dv is
+        # dead — but a Pallas kernel is opaque to XLA DCE and would pay the product anyway)
+        if need_dv:
+            dv_ref, dx_ref = out_refs
+        else:
+            (dx_ref,) = out_refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         a = x1_ref[:]
@@ -466,7 +476,9 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
             gj_s = gj_ref[s * sub : (s + 1) * sub, :]
             vj_s = vj_ref[s * sub : (s + 1) * sub, :]
             # dv: same precision policy as the forward matvec
-            if bf16:
+            if not need_dv:
+                dv_p = None
+            elif bf16:
                 dv_p = jnp.dot(kv.astype(jnp.bfloat16), gj_s.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             elif high:
                 dv_p = _dot_high(kv, gj_s, t_real=t)
@@ -495,20 +507,25 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
             rowsum = jnp.sum(W, axis=-1, keepdims=True)
             Wx = jnp.dot(W.astype(b_s.dtype), b_s, preferred_element_type=jnp.float32)
             dx_p = 2.0 * (rowsum * a - Wx)
-            dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
+            if need_dv:
+                dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
             dx_acc = dx_p if dx_acc is None else dx_acc + dx_p
 
         @pl.when(j == 0)
         def _():
-            dv_ref[:] = dv_acc.astype(dv_ref.dtype)
+            if need_dv:
+                dv_ref[:] = dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_acc.astype(dx_ref.dtype)
 
         @pl.when(j != 0)
         def _():
-            dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
+            if need_dv:
+                dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
 
-    dv, dx = pl.pallas_call(
+    _dv_out_spec = [pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0))] if need_dv else []
+    _dv_out_shape = [jax.ShapeDtypeStruct((Np, Tp), v.dtype)] if need_dv else []
+    outs = pl.pallas_call(
         kernel,
         grid=(Np // _BN, nj),
         in_specs=[
@@ -520,18 +537,20 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int):
             pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
             pl.BlockSpec((_BM, Tp), lambda i, j: (j, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0)),
+        out_specs=_dv_out_spec + [
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Np, Tp), v.dtype),
+        out_shape=_dv_out_shape + [
             jax.ShapeDtypeStruct((Np, Dp), x.dtype),
         ],
         interpret=_interpret(),
         **(_grid_params() if not _interpret() else {}),
     )(xp, xp2, xp2t, gp, gp2, vp, vp2)
-    return dv[:n, :t], dx[:n, :d]
+    if need_dv:
+        dv, dx = outs
+        return dv[:n, :t], dx[:n, :d]
+    (dx,) = outs
+    return None, dx[:n, :d]
 
 
 # ----------------------------------------------------------------------------------------
@@ -591,16 +610,21 @@ def _fkm_fwd(x1, x2, v, kernel_type):
 
 
 def _fkm_bwd(kernel_type, res, g):
+    from .. import settings
+
     x1, x2, v = res
+    # settings.skip_matvec_cotangent: the caller guarantees v is stop-gradiented (mBCG /
+    # CG-solve backwards), so dv = Kᵀg is dead — skip the MXU product, return zeros.
+    skip_dv = settings.skip_matvec_cotangent.on()
     if _use_pallas() and x1 is x2:
         # training case (x1 ≡ x2, the same traced value): ONE fused tile build yields
         # dv, dx1 and dx2 (see _bwd_fused_pallas) instead of three full passes.  The
         # total input cotangent is dx1 + dx2 — JAX sums the two positional cotangents
         # at the shared-variable call site, so deliver the sum in slot 0.
-        dv, dx = _bwd_fused_pallas(x1, g, v, kernel_type)
-        return dx, jnp.zeros_like(dx), dv
+        dv, dx = _bwd_fused_pallas(x1, g, v, kernel_type, need_dv=not skip_dv)
+        return dx, jnp.zeros_like(dx), jnp.zeros_like(v) if skip_dv else dv
     # dV = K(x2, x1) @ g   (stationary kernels: Kᵀ(x1,x2) = K(x2,x1))
-    dv = fused_kernel_matvec(x2, x1, g, kernel_type)
+    dv = jnp.zeros_like(v) if skip_dv else fused_kernel_matvec(x2, x1, g, kernel_type)
     if _use_pallas():
         dx1 = _grad_x_pallas(x1, x2, g, v, kernel_type)
         dx2 = _grad_x_pallas(x2, x1, v, g, kernel_type)

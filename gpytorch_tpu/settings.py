@@ -215,6 +215,37 @@ class precond_logdet_vr(_feature_flag):
     _default = False
 
 
+class sharded_global_probes(_feature_flag):
+    """Row-sharded mBCG (distributed/sharded.py): draw the SLQ probe matrix from the key
+    at its GLOBAL (n_global, t) shape on every device and slice the local row block,
+    instead of the default per-device ``fold_in(key, axis_index)`` draw.
+
+    With this on, a sharded solve and a single-device solve given the same key see the
+    IDENTICAL probe matrix, so their CG trajectories agree to rounding — the matched-probe
+    near-exact validation mode (tests/test_sharded_general.py, __graft_entry__ leg 5).
+    Costs a full (n_global, t) normal draw per device, so it is a TEST/VALIDATION knob,
+    not a production default.  Unpreconditioned draws only (a preconditioned probe draw
+    z ~ N(0, P) depends on the local P factor layout)."""
+
+    _default = False
+
+
+class skip_matvec_cotangent(_feature_flag):
+    """Inside a fused ``fused_kernel_matvec`` VJP, skip computing the cotangent of the
+    right-hand side ``v`` (the ``dv = Kᵀ g`` product) and return zeros for it.
+
+    ONLY safe where ``v`` provably carries no gradient — the mBCG backward
+    (solvers/inv_quad.py::_mbcg_bwd) and the CG-solve backward
+    (solvers/cg.py::_linear_solve_cg_bwd) stop-gradient every matvec operand, so JAX
+    discards the dv cotangent *after* it is computed; the Pallas kernel is opaque to XLA,
+    so without this flag that dead ``Kᵀ g`` costs a full lane-packed MXU product
+    (~25 ms at N=100k — roughly one extra matvec per training step).  Entered
+    automatically by those backwards; not a user knob.  TPU-specific; no reference
+    analogue (torch autograd prunes the dead branch at graph level)."""
+
+    _default = False
+
+
 class fast_precond_grad(_feature_flag):
     """Gradient of the pivoted-Cholesky preconditioner root via the fixed-pivot Nyström
     form (value stays the scan-built factor through a stop-gradient straddle, so forward

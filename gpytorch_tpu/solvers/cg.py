@@ -316,8 +316,11 @@ def _linear_solve_cg_bwd(tol, res, g):
     def quad(lo):
         return -jnp.sum(u * lo._matmul(jax.lax.stop_gradient(sol)))
 
-    _, vjp = jax.vjp(quad, linop)
-    (linop_bar,) = vjp(jnp.ones((), dtype=sol.dtype))
+    # every matvec operand in quad is stop-gradiented — skip the dead dv = Kᵀg MXU
+    # product inside any fused-kernel VJP traced here (settings.skip_matvec_cotangent)
+    with settings.skip_matvec_cotangent(True):
+        _, vjp = jax.vjp(quad, linop)
+        (linop_bar,) = vjp(jnp.ones((), dtype=sol.dtype))
     return linop_bar, u
 
 

@@ -231,12 +231,20 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
     probes = None
     norms = None
     if cfg.logdet:
-        if axis is not None:
+        _global_probes = axis is not None and P_op is None and settings.sharded_global_probes.on()
+        if axis is not None and not _global_probes:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         n_rows = rhs.shape[-2]  # local row count when sharded
         if P_op is not None:
             z = P_op.zero_mean_mvn_samples(key, cfg.num_probes)  # (t, *batch, n)
             z = jnp.moveaxis(z, 0, -1)  # (*batch, n, t)
+        elif _global_probes:
+            # matched-probe validation mode (settings.sharded_global_probes): every device
+            # draws the GLOBAL (n, t) probe matrix from the same key and slices its row
+            # block — a single-device solve with this key sees the identical probes
+            z_full = jax.random.normal(key, batch + (n, cfg.num_probes), dtype=dt)
+            row0 = jax.lax.axis_index(axis) * n_rows
+            z = jax.lax.dynamic_slice_in_dim(z_full, row0, n_rows, axis=-2)
         else:
             z = jax.random.normal(key, batch + (n_rows, cfg.num_probes), dtype=dt)
         z = jax.lax.stop_gradient(z)
@@ -388,7 +396,8 @@ def _mbcg_bwd(cfg, residuals, g):
             settings.use_pallas(cfg.use_pallas), settings.kernel_matvec_bf16(cfg.mv_bf16), \
             settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high), \
             settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16), \
-            settings.fast_precond_grad(cfg.fast_pc_grad):
+            settings.fast_precond_grad(cfg.fast_pc_grad), \
+            settings.skip_matvec_cotangent(True):
         _, vjp = jax.vjp(scalar_fn, linop)
         # the cotangent application must ALSO run inside the with-block: nested custom-vjp
         # backwards (e.g. _fkm_bwd → _bwd_fused_pallas, which reads use_pallas and the

@@ -183,3 +183,64 @@ REFERENCE_MODULE_PATHS = [
 @pytest.mark.parametrize("path", REFERENCE_MODULE_PATHS)
 def test_reference_module_path_imports(path):
     importlib.import_module(path)
+
+
+# -- class-name parity: the diff of public reference class names vs this package is EMPTY --
+# (VERDICT r4 ask #8: the four deprecated warning shims were the only absences)
+
+_REFERENCE_ROOT = "/root/reference/gpytorch"
+
+
+def _reference_public_class_names():
+    """All public (non-underscore) top-level class names in the reference package, by AST
+    (the reference itself imports torch/linear_operator, so we parse rather than import)."""
+    import ast
+    import os
+
+    names = {}
+    for dirpath, _dirnames, filenames in os.walk(_REFERENCE_ROOT):
+        for fn in filenames:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            try:
+                tree = ast.parse(open(p, encoding="utf-8").read())
+            except SyntaxError:
+                continue
+            for node in tree.body:
+                if isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+                    # torch.autograd.Function subclasses are torch-autograd plumbing, not
+                    # user API — their capability is jax.custom_vjp here (ComputePredictiveUpdates
+                    # → variational OVC custom_vjp; QuadFormDiagonal → fused BBMM backward)
+                    bases = [ast.dump(b) for b in node.bases]
+                    if any("autograd" in b and "Function" in b for b in bases):
+                        continue
+                    names.setdefault(node.name, p)
+    return names
+
+
+def test_reference_class_name_diff_is_empty():
+    import os
+
+    if not os.path.isdir(_REFERENCE_ROOT):
+        pytest.skip("reference tree not present")
+    ref = _reference_public_class_names()
+    import gpytorch_tpu  # noqa: F401
+
+    top = importlib.import_module("gpytorch_tpu")
+    missing = []
+    for name, src in sorted(ref.items()):
+        # resolve via the mirrored module path first, then the package root
+        rel = os.path.relpath(src, _REFERENCE_ROOT)
+        mod_path = "gpytorch_tpu." + rel[:-3].replace(os.sep, ".")
+        for candidate in (mod_path, mod_path.rsplit(".", 1)[0], "gpytorch_tpu"):
+            try:
+                mod = importlib.import_module(candidate)
+            except ImportError:
+                continue
+            if hasattr(mod, name):
+                break
+        else:
+            if not hasattr(top, name):
+                missing.append(f"{name} (reference: {rel})")
+    assert not missing, f"public reference class names absent from gpytorch_tpu: {missing}"
