@@ -137,10 +137,15 @@ class LazyEvaluatedKernelOperator(LinearOperator):
         x2 = jnp.broadcast_to(self.x2, batch + self.x2.shape[-2:]).reshape((-1,) + self.x2.shape[-2:])
         ls_b = jnp.broadcast_to(ls, batch + (1, ls.shape[-1])).reshape((-1, 1, ls.shape[-1]))
         rhs_b = rhs.reshape((-1,) + rhs.shape[-2:])
+        os_b = None
         if outputscale is not None:
-            # input-side scale association — same rationale as _fused_single
-            os_b = jnp.broadcast_to(outputscale, batch).reshape((-1,))
-            rhs_b = rhs_b * os_b[:, None, None]
+            if periodic:
+                # periodic keeps rhs-side association (its VJP always computes dv)
+                os_flat = jnp.broadcast_to(outputscale, batch).reshape((-1,))
+                rhs_b = rhs_b * os_flat[:, None, None]
+            else:
+                # σ² rides the scaled primitive per batch element (see _fused_single)
+                os_b = jnp.broadcast_to(outputscale, batch).reshape((-1,))
         if periodic:
             per = jnp.broadcast_to(kernel.period_length, batch + (1, kernel.period_length.shape[-1]))
             per = per.reshape((-1, 1, kernel.period_length.shape[-1]))
@@ -158,33 +163,40 @@ class LazyEvaluatedKernelOperator(LinearOperator):
             else:
                 x1i, x2i, lsi, ri = args[:4]
                 center = jax.lax.stop_gradient(jnp.mean(x1i, axis=-2, keepdims=True))
+                osi = args[4] if os_b is not None else None
                 if sym:
                     xsi = (x1i - center) / lsi
-                    out = pk.fused_kernel_matvec(xsi, xsi, ri, ktype)
+                    if osi is not None:
+                        out = pk.fused_scaled_kernel_matvec(xsi, xsi, ri, osi, ktype)
+                    else:
+                        out = pk.fused_kernel_matvec(xsi, xsi, ri, ktype)
                 else:
-                    out = pk.fused_kernel_matvec((x1i - center) / lsi, (x2i - center) / lsi, ri, ktype)
+                    xs1i, xs2i = (x1i - center) / lsi, (x2i - center) / lsi
+                    if osi is not None:
+                        out = pk.fused_scaled_kernel_matvec(xs1i, xs2i, ri, osi, ktype)
+                    else:
+                        out = pk.fused_kernel_matvec(xs1i, xs2i, ri, ktype)
             return out
 
-        args = (x1, x2, ls_b, rhs_b) + ((per,) if periodic else ())
+        args = (x1, x2, ls_b, rhs_b) + ((per,) if periodic else ()) + (
+            (os_b,) if os_b is not None else ()
+        )
         outs = jax.lax.map(one, args)
         return outs.reshape(batch + outs.shape[-2:])
 
     def _fused_single(self, kernel, ktype, periodic, ls, x1, x2, rhs, outputscale):
         from ..ops import pallas_kernels as pk
 
-        if outputscale is not None:
-            # Associate the ScaleKernel outputscale onto the rhs: (σ²K)·v = K·(σ²v), and
-            # putting it on the INPUT side keeps the primal fused matvec dead in the VJP —
-            # σ²_bar reuses the backward kernel's dv (σ²_bar = Σ v⊙dv) instead of
-            # resurrecting a full K·v pass just to contract it with the cotangent
-            # (measured ~27 ms/step at N=100k in the flagship training backward).
-            rhs = rhs * outputscale
         # Symmetric (training) case: scale the inputs ONCE and pass the SAME traced value
         # twice — the fused VJP's one-pass branch keys on ``x1 is x2`` (object identity of
         # the tracers), and evaluating ``(x1 - center) / ls`` as two expressions silently
         # demoted every training backward to the general three-pass branch (dv matvec +
         # two dx passes, ~115 ms/step at N=100k vs ~63 ms for the one-pass kernel).
         if periodic:
+            # periodic: σ² stays associated onto the rhs (σ²_bar = Σ v⊙dv — its fused VJP
+            # always computes dv; skip_matvec_cotangent is not wired into it)
+            if outputscale is not None:
+                rhs = rhs * outputscale
             per = kernel.period_length
             if x1 is x2:
                 xs = x1 / per
@@ -192,12 +204,24 @@ class LazyEvaluatedKernelOperator(LinearOperator):
             else:
                 out = pk.fused_periodic_matvec(x1 / per, x2 / per, 1.0 / (ls[0] ** 2), rhs)
         else:
+            # ScaleKernel σ² rides the SCALED primitive: its VJP reads σ²_bar out of the
+            # fused backward kernel's Σ kv⊙gv accumulator — no primal K·v resurrection,
+            # no dv product (which settings.skip_matvec_cotangent deletes in the mBCG
+            # backward; rhs-side association would have routed σ²_bar through that
+            # deleted dv and silently zeroed the outputscale gradient)
             center = jax.lax.stop_gradient(jnp.mean(x1, axis=-2, keepdims=True))
             if x1 is x2:
                 xs = (x1 - center) / ls
-                out = pk.fused_kernel_matvec(xs, xs, rhs, ktype)
+                if outputscale is not None:
+                    out = pk.fused_scaled_kernel_matvec(xs, xs, rhs, outputscale, ktype)
+                else:
+                    out = pk.fused_kernel_matvec(xs, xs, rhs, ktype)
             else:
-                out = pk.fused_kernel_matvec((x1 - center) / ls, (x2 - center) / ls, rhs, ktype)
+                xs1, xs2 = (x1 - center) / ls, (x2 - center) / ls
+                if outputscale is not None:
+                    out = pk.fused_scaled_kernel_matvec(xs1, xs2, rhs, outputscale, ktype)
+                else:
+                    out = pk.fused_kernel_matvec(xs1, xs2, rhs, ktype)
         return out
 
     def _matmul_chunked(self, rhs):

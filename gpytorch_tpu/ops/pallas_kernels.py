@@ -396,22 +396,25 @@ def _grad_x_pallas(x1, x2, g, v, kernel_type: int):
 # and dx1+dx2 share one weighted-moment reduction via W := k'·(g vᵀ + v gᵀ).
 # ----------------------------------------------------------------------------------------
 
-def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
+def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos: bool = False):
     from jax.experimental import pallas as pl
 
     from .. import settings
 
     max_t = _max_t()
     if v.shape[1] > max_t:
-        dv_tot, dx_tot = None, None
+        dv_tot, dx_tot, dos_tot = None, None, None
         for i in range(0, v.shape[1], max_t):
-            dv_p, dx_p = _bwd_fused_pallas(
-                x, g[:, i : i + max_t], v[:, i : i + max_t], kernel_type, need_dv=need_dv
+            dv_p, dx_p, dos_p = _bwd_fused_pallas(
+                x, g[:, i : i + max_t], v[:, i : i + max_t], kernel_type,
+                need_dv=need_dv, need_dos=need_dos,
             )
             if need_dv:
                 dv_tot = dv_p if dv_tot is None else jnp.concatenate([dv_tot, dv_p], axis=1)
+            if need_dos:
+                dos_tot = dos_p if dos_tot is None else dos_tot + dos_p
             dx_tot = dx_p if dx_tot is None else dx_tot + dx_p
-        return dv_tot, dx_tot
+        return dv_tot, dx_tot, dos_tot
     n, d = x.shape
     t = v.shape[1]
     bf16 = bool(settings.kernel_matvec_bf16.on())
@@ -446,11 +449,15 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
     def kernel(x1_ref, x2_ref, x2t_ref, gi_ref, gj_ref, vi_ref, vj_ref, *out_refs):
         # need_dv=False drops the dv output AND its Kᵀg MXU product entirely
         # (settings.skip_matvec_cotangent: the mBCG backward stop-gradients v, so dv is
-        # dead — but a Pallas kernel is opaque to XLA DCE and would pay the product anyway)
-        if need_dv:
-            dv_ref, dx_ref = out_refs
-        else:
-            (dx_ref,) = out_refs
+        # dead — but a Pallas kernel is opaque to XLA DCE and would pay the product anyway).
+        # need_dos=True adds the scalar Σ_ij kv_ij·(g_i·v_j) — the outputscale cotangent
+        # of a scaled kernel matvec — for FREE: kv and the gv moment are both already in
+        # registers, so it is one extra VPU multiply-reduce per tile (the alternatives
+        # each cost a full MXU pass: resurrecting the primal K·v, or the dv product).
+        out_refs = list(out_refs)
+        dv_ref = out_refs.pop(0) if need_dv else None
+        dx_ref = out_refs.pop(0)
+        dos_ref = out_refs.pop(0) if need_dos else None
         i = pl.program_id(0)
         j = pl.program_id(1)
         a = x1_ref[:]
@@ -459,6 +466,7 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
         sub = _BM // n_sub
         dv_acc = None
         dx_acc = None
+        dos_acc = jnp.zeros((), jnp.float32) if need_dos else None
         row_ids = i * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BN, sub), 0)
         for s in range(n_sub):
             b_s = x2_ref[s * sub : (s + 1) * sub, :]
@@ -507,6 +515,10 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
             rowsum = jnp.sum(W, axis=-1, keepdims=True)
             Wx = jnp.dot(W.astype(b_s.dtype), b_s, preferred_element_type=jnp.float32)
             dx_p = 2.0 * (rowsum * a - Wx)
+            if need_dos:
+                # Σ_ij kv_ij (g_i·v_j): the unscaled-kernel quadratic form — zero-padded
+                # g/v rows/cols contribute exactly 0, so no masking is needed
+                dos_acc = dos_acc + jnp.sum(kv * gv)
             if need_dv:
                 dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
             dx_acc = dx_p if dx_acc is None else dx_acc + dx_p
@@ -516,18 +528,35 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
             if need_dv:
                 dv_ref[:] = dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_acc.astype(dx_ref.dtype)
+            if need_dos:
+                _m = jnp.logical_and(
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0,
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0,
+                )
+                dos_ref[:] = jnp.where(_m, dos_acc, 0.0).astype(dos_ref.dtype)
 
         @pl.when(j != 0)
         def _():
             if need_dv:
                 dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
+            if need_dos:
+                _m = jnp.logical_and(
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0,
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0,
+                )
+                dos_ref[:] = dos_ref[:] + jnp.where(_m, dos_acc, 0.0).astype(dos_ref.dtype)
 
+    n_i = Np // _BN
     _dv_out_spec = [pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0))] if need_dv else []
     _dv_out_shape = [jax.ShapeDtypeStruct((Np, Tp), v.dtype)] if need_dv else []
+    # dos: one (8, 128) block per row-block i (i is a PARALLEL grid dim — each i must own
+    # its output block; the sequential j sweep accumulates within it); summed outside
+    _dos_out_spec = [pl.BlockSpec((8, 128), lambda i, j: (i, 0))] if need_dos else []
+    _dos_out_shape = [jax.ShapeDtypeStruct((n_i * 8, 128), jnp.float32)] if need_dos else []
     outs = pl.pallas_call(
         kernel,
-        grid=(Np // _BN, nj),
+        grid=(n_i, nj),
         in_specs=[
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
             pl.BlockSpec((_BM, Dp), lambda i, j: (j, 0)),
@@ -539,18 +568,18 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True):
         ],
         out_specs=_dv_out_spec + [
             pl.BlockSpec((_BN, Dp), lambda i, j: (i, 0)),
-        ],
+        ] + _dos_out_spec,
         out_shape=_dv_out_shape + [
             jax.ShapeDtypeStruct((Np, Dp), x.dtype),
-        ],
+        ] + _dos_out_shape,
         interpret=_interpret(),
         **(_grid_params() if not _interpret() else {}),
     )(xp, xp2, xp2t, gp, gp2, vp, vp2)
-    if need_dv:
-        dv, dx = outs
-        return dv[:n, :t], dx[:n, :d]
-    (dx,) = outs
-    return None, dx[:n, :d]
+    outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    dv = outs.pop(0)[:n, :t] if need_dv else None
+    dx = outs.pop(0)[:n, :d]
+    dos = jnp.sum(outs.pop(0)) if need_dos else None
+    return dv, dx, dos
 
 
 # ----------------------------------------------------------------------------------------
@@ -615,13 +644,16 @@ def _fkm_bwd(kernel_type, res, g):
     x1, x2, v = res
     # settings.skip_matvec_cotangent: the caller guarantees v is stop-gradiented (mBCG /
     # CG-solve backwards), so dv = Kᵀg is dead — skip the MXU product, return zeros.
+    # CAUTION: when a ScaleKernel outputscale was associated onto v (v_scaled = σ²·v),
+    # the σ² cotangent IS Σ v⊙dv — use fused_scaled_kernel_matvec for that case, whose
+    # backward gets the σ² cotangent from the free in-kernel Σ kv⊙gv accumulator.
     skip_dv = settings.skip_matvec_cotangent.on()
     if _use_pallas() and x1 is x2:
         # training case (x1 ≡ x2, the same traced value): ONE fused tile build yields
         # dv, dx1 and dx2 (see _bwd_fused_pallas) instead of three full passes.  The
         # total input cotangent is dx1 + dx2 — JAX sums the two positional cotangents
         # at the shared-variable call site, so deliver the sum in slot 0.
-        dv, dx = _bwd_fused_pallas(x1, g, v, kernel_type, need_dv=not skip_dv)
+        dv, dx, _ = _bwd_fused_pallas(x1, g, v, kernel_type, need_dv=not skip_dv)
         return dx, jnp.zeros_like(dx), jnp.zeros_like(v) if skip_dv else dv
     # dV = K(x2, x1) @ g   (stationary kernels: Kᵀ(x1,x2) = K(x2,x1))
     dv = jnp.zeros_like(v) if skip_dv else fused_kernel_matvec(x2, x1, g, kernel_type)
@@ -639,6 +671,65 @@ def _fkm_bwd(kernel_type, res, g):
 
 
 fused_kernel_matvec.defvjp(_fkm_fwd, _fkm_bwd)
+
+
+# ----------------------------------------------------------------------------------------
+# scaled variant: out = σ² K(x1, x2) @ v — the ScaleKernel∘(RBF|Matérn) training matvec.
+#
+# Why a separate primitive: every cheap route to the σ² gradient is blocked at the
+# fused_kernel_matvec level.  Output-side association (σ²·(K v)) resurrects the PRIMAL
+# K·v inside the VJP (σ²_bar = Σ g⊙Kv — a full MXU pass, not DCE-able because it is
+# genuinely used); input-side association (K·(σ²v)) routes σ²_bar through dv = Kᵀg —
+# also a full MXU pass, and the one settings.skip_matvec_cotangent exists to delete.
+# Taking σ² as an explicit operand lets the backward read Σ kv⊙gv out of the fused
+# backward kernel's registers (need_dos) — the σ² cotangent at zero extra MXU passes.
+# ----------------------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_scaled_kernel_matvec(x1, x2, v, outputscale, kernel_type: int):
+    """out = outputscale · K(x1, x2) @ v, streaming.  Primal is bit-identical to the
+    input-side association ``fused_kernel_matvec(x1, x2, outputscale·v)`` the dispatch
+    used previously."""
+    return fused_kernel_matvec(x1, x2, outputscale * v, kernel_type)
+
+
+def _fskm_fwd(x1, x2, v, outputscale, kernel_type):
+    out = fused_kernel_matvec(x1, x2, outputscale * v, kernel_type)
+    return out, (x1, x2, v, outputscale)
+
+
+def _fskm_bwd(kernel_type, res, g):
+    from .. import settings
+
+    x1, x2, v, os_ = res
+    skip_dv = settings.skip_matvec_cotangent.on()
+    if _use_pallas() and x1 is x2:
+        # one fused tile pass on the UNSCALED v: dx/dv come back unscaled (multiply by
+        # σ² outside — (n,d)/(n,t) elementwise, negligible), dos is exact
+        dv_u, dx_u, dos = _bwd_fused_pallas(
+            x1, g, v, kernel_type, need_dv=not skip_dv, need_dos=True
+        )
+        dx = os_ * dx_u
+        dv = jnp.zeros_like(v) if skip_dv else os_ * dv_u
+        return dx, jnp.zeros_like(dx), dv, jnp.reshape(dos, jnp.shape(os_)).astype(jnp.result_type(os_))
+    # general / reference branch: σ²_bar needs the primal K₀v (one streaming matvec)
+    K0v = fused_kernel_matvec(x1, x2, v, kernel_type)
+    dos = jnp.reshape(jnp.sum(g * K0v), jnp.shape(os_)).astype(jnp.result_type(os_))
+    dv = jnp.zeros_like(v) if skip_dv else os_ * fused_kernel_matvec(x2, x1, g, kernel_type)
+    if _use_pallas():
+        dx1 = os_ * _grad_x_pallas(x1, x2, g, v, kernel_type)
+        dx2 = os_ * _grad_x_pallas(x2, x1, v, g, kernel_type)
+    else:
+        from .sq_dist import sq_dist
+
+        d2 = sq_dist(x1, x2)
+        W = _kernel_prime(d2, kernel_type) * (g @ v.T)
+        dx1 = os_ * 2.0 * (jnp.sum(W, axis=-1, keepdims=True) * x1 - W @ x2)
+        dx2 = os_ * 2.0 * (jnp.sum(W, axis=0)[:, None] * x2 - W.T @ x1)
+    return dx1, dx2, dv, dos
+
+
+fused_scaled_kernel_matvec.defvjp(_fskm_fwd, _fskm_bwd)
 
 
 # ----------------------------------------------------------------------------------------

@@ -39,7 +39,7 @@ def main():
         v = jax.random.normal(jax.random.PRNGKey(2), (N, t), jnp.float32)
         with gp.settings.kernel_matvec_high(True):
             timeit(f"matvec_high_t{t}_s", jax.jit(lambda v: pk._matvec_pallas(x, x, v, pk.RBF)), v)
-            timeit(f"bwd_high_t{t}_s", jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF)), g, v)
+            timeit(f"bwd_high_t{t}_s", jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF)[:2]), g, v)
     print("PROF_BWD DONE", flush=True)
 
 

@@ -39,7 +39,7 @@ def main():
         with gp.settings.kernel_matvec_high(True):
             timeit(f"matvec_high_t{t}_s", jax.jit(lambda v: pk._matvec_pallas(x, x, v, pk.RBF)), v)
             timeit(f"bwd_dv_t{t}_s",
-                   jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=True)), g, v)
+                   jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=True)[:2]), g, v)
             timeit(f"bwd_nodv_t{t}_s",
                    jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=False)[1]), g, v)
     print("PROF_BWD3 DONE", flush=True)

@@ -266,7 +266,7 @@ def test_bwd_fused_symmetric_matches_dense_grad(ktype):
         return jnp.sum(g * (K @ v_))
 
     want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x1, v)
-    got_dv, got_dx = pk._bwd_fused_pallas(x1, g, v, ktype)
+    got_dv, got_dx, _ = pk._bwd_fused_pallas(x1, g, v, ktype)
     np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
     np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
 
@@ -303,7 +303,7 @@ def test_bwd_fused_high_mode(ktype):
 
     want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
     with gp.settings.kernel_matvec_high(True):
-        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, ktype)
+        got_dv, got_dx, _ = pk._bwd_fused_pallas(x, g, v, ktype)
     np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
     np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
 
@@ -320,7 +320,7 @@ def test_bwd_fused_column_chunking_accumulates():
             return jnp.sum(g * (K @ v_))
 
         want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
-        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+        got_dv, got_dx, _ = pk._bwd_fused_pallas(x, g, v, pk.RBF)
     np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
     np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
 
@@ -399,7 +399,7 @@ def test_bwd_fused_row_col_tile_mismatch():
         return jnp.sum(g * (K @ v_))
 
     want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
-    got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+    got_dv, got_dx, _ = pk._bwd_fused_pallas(x, g, v, pk.RBF)
     np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
     np.testing.assert_allclose(got_dv, want_dv, rtol=3e-4, atol=3e-4, err_msg="dv")
 
@@ -416,7 +416,7 @@ def test_bwd_fused_bf16_mode():
 
     want_dx, want_dv = jax.grad(dense_loss, argnums=(0, 1))(x, v)
     with gp.settings.kernel_matvec_bf16(True):
-        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+        got_dv, got_dx, _ = pk._bwd_fused_pallas(x, g, v, pk.RBF)
     np.testing.assert_allclose(got_dx, want_dx, rtol=2e-2, atol=2e-2, err_msg="dx")
     np.testing.assert_allclose(got_dv, want_dv, rtol=2e-2, atol=2e-2, err_msg="dv")
 
@@ -433,7 +433,7 @@ def test_bwd_fused_cbf16_matches_the_forward_fixed_operator():
 
     with gp.settings.kernel_matvec_consistent_bf16(True):
         want_dv = pk._matvec_pallas(x, x, g, pk.RBF)  # K-tilde @ g, the forward's operator
-        got_dv, got_dx = pk._bwd_fused_pallas(x, g, v, pk.RBF)
+        got_dv, got_dx, _ = pk._bwd_fused_pallas(x, g, v, pk.RBF)
 
     scale = np.max(np.abs(np.asarray(want_dv)))
     err = np.max(np.abs(np.asarray(got_dv) - np.asarray(want_dv))) / scale
@@ -446,3 +446,48 @@ def test_bwd_fused_cbf16_matches_the_forward_fixed_operator():
 
     want_dx = jax.grad(dense_loss)(x, v)
     np.testing.assert_allclose(got_dx, want_dx, rtol=3e-4, atol=3e-4, err_msg="dx")
+
+
+def test_bwd_fused_dos_accumulator_matches_dense():
+    """need_dos: the in-kernel Σ kv⊙gv accumulator equals Σ g⊙(K v) (the σ² cotangent of
+    a scaled matvec) across a multi-tile grid with padded edge tiles."""
+    x, _, _ = _data(n=300, m=300, d=3, t=4, seed=81)
+    v = jax.random.normal(jax.random.PRNGKey(82), (300, 4), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(83), (300, 4), dtype=jnp.float32)
+    _, _, dos = pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=False, need_dos=True)
+    K = pk._kernel_fn(_dense_d2(x, x), pk.RBF)
+    want = float(jnp.sum(g * (K @ v)))
+    np.testing.assert_allclose(float(dos), want, rtol=2e-4)
+
+
+def test_fused_scaled_kernel_matvec_grads():
+    """fused_scaled_kernel_matvec: value == σ²·K@v and ALL cotangents (x, v, σ²) match
+    jax.grad of the dense scaled op — including under skip_matvec_cotangent, where only
+    the v cotangent may be dropped (σ²_bar must survive: regression for the dv-skip
+    zeroing the outputscale gradient)."""
+    x, _, _ = _data(n=260, m=260, d=3, t=4, seed=91)
+    v = jax.random.normal(jax.random.PRNGKey(92), (260, 4), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(93), (260, 4), dtype=jnp.float32)
+    os_ = jnp.float32(0.8)
+
+    def fused_loss(x_, v_, s_):
+        return jnp.sum(g * pk.fused_scaled_kernel_matvec(x_, x_, v_, s_, pk.RBF))
+
+    def dense_loss(x_, v_, s_):
+        K = pk._kernel_fn(_dense_d2(x_, x_), pk.RBF)
+        return jnp.sum(g * (s_ * (K @ v_)))
+
+    val = fused_loss(x, v, os_)
+    np.testing.assert_allclose(float(val), float(dense_loss(x, v, os_)), rtol=2e-4)
+    got = jax.grad(fused_loss, argnums=(0, 1, 2))(x, v, os_)
+    want = jax.grad(dense_loss, argnums=(0, 1, 2))(x, v, os_)
+    np.testing.assert_allclose(got[0], want[0], rtol=3e-4, atol=3e-4, err_msg="dx")
+    np.testing.assert_allclose(got[1], want[1], rtol=3e-4, atol=3e-4, err_msg="dv")
+    np.testing.assert_allclose(float(got[2]), float(want[2]), rtol=3e-4, err_msg="dos")
+
+    with gp.settings.skip_matvec_cotangent(True):
+        got_skip = jax.grad(fused_loss, argnums=(0, 1, 2))(x, v, os_)
+    np.testing.assert_allclose(got_skip[0], want[0], rtol=3e-4, atol=3e-4, err_msg="dx(skip)")
+    np.testing.assert_allclose(float(got_skip[2]), float(want[2]), rtol=3e-4,
+                               err_msg="outputscale cotangent must survive skip_matvec_cotangent")
+    assert float(jnp.max(jnp.abs(got_skip[1]))) == 0.0  # v cotangent intentionally dropped
