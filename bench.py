@@ -111,6 +111,10 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     # Unroll CG's mandatory floor iterations as straight-line XLA (the rhs-warm default
     # runs exactly NTRI iterations, all of them floor-forced, so the whole solve unrolls)
     st.enter_context(gp.settings.cg_unroll(int(os.environ.get("BENCH_UNROLL", "0"))))
+    # Lagged warm-rhs init (settings.cg_lagged_rhs): folds the warm-start residual
+    # matvec into iteration 1 — NTRI matvecs/step instead of NTRI+1 (~35 ms at N=100k).
+    # The warm rhs column gets NTRI−1 in-loop updates (convergence-gated past the floor).
+    st.enter_context(gp.settings.cg_lagged_rhs(os.environ.get("BENCH_LAGGED", "1") == "1"))
     # VR logdet gradient is ON by default with rhs-warm solves: it confines the probe
     # truncation error to the small variance-reduced residual term (costs ~50 ms/step
     # for the differentiable P rebuild in the backward)
@@ -680,7 +684,10 @@ def main():
         # settings.skip_matvec_cotangent).  Denominator: the chained-dispatch device
         # step time (the per-step synced median pays a ~30 ms tunnel RTT per step that
         # a real training loop never sees).
-        _extra_mv = 3 if _warm_rhs else 2
+        # lagged warm-rhs init folds the warm-start residual matvec into iteration 1,
+        # so the executed forward matvec count is exactly cg_iters
+        _lagged = _os.environ.get("BENCH_LAGGED", "1") == "1"
+        _extra_mv = (2 if _lagged else 3) if _warm_rhs else 2
         flops_step = (cg_iters_timed + _extra_mv) * flops_matvec
         mfu_pct = 100.0 * flops_step / (s_per_iter_device * _PEAK_FLOPS)
     else:

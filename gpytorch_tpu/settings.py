@@ -302,6 +302,22 @@ class cg_stall_window(_value_context):
     _global_value = 10
 
 
+class cg_lagged_rhs(_feature_flag):
+    """rhs-warm mBCG: fold the warm-start residual matvec INTO the first CG iteration.
+
+    A warm start needs r₀ = b − A x₀ — normally one extra full-width matvec before the
+    loop (the fused matvec is flat in columns, so the 1-column x₀ costs a full ~35 ms
+    pass at N=100k).  Instead, start the warm rhs column at x=0, r=b, p=x₀ and force its
+    first iteration coefficients to α=1, β=0: the iteration's ordinary algebra
+    x ← x + α·p = x₀ and r ← r − α·A p = b − A x₀ IS the warm-start initialization, and
+    the probe columns run their ordinary first Krylov iteration in the same matvec.
+    Net: NTRI matvecs instead of NTRI+1 per training step; the warm rhs column receives
+    NTRI−1 in-loop updates (it is convergence-gated, so the loop continues past the
+    floor if it ever needs more).  TPU-specific scheduling; no reference analogue."""
+
+    _default = False
+
+
 class cg_unroll(_value_context):
     """Unroll up to this many of CG's mandatory floor iterations (the first
     ``n_tridiag_iter`` iterations, which the while-loop condition forces to run

@@ -48,6 +48,7 @@ def linear_cg(
     global_n: Optional[int] = None,
     x0: Optional[jax.Array] = None,
     conv_cols: Optional[int] = None,
+    lagged_rhs_init: bool = False,
 ) -> CGResult:
     """Solve A x = rhs for all columns of rhs simultaneously.
 
@@ -101,7 +102,13 @@ def linear_cg(
     rhs_norm = jnp.where(rhs_is_zero, jnp.ones_like(rhs_norm), rhs_norm)
     b = rhs / rhs_norm
 
-    if x0 is not None:
+    # lagged warm-rhs initialization (settings.cg_lagged_rhs): fold r₀ = b − A x₀ into
+    # the first loop iteration by starting the gated columns at x=0, r=b, p=x₀ and
+    # forcing their first-iteration coefficients to α=1, β=0 — the iteration's own
+    # algebra (x ← x + αp, r ← r − αAp) then performs the warm-start init inside the
+    # same full-width matvec that runs the probe columns' first Krylov iteration.
+    lagged = bool(lagged_rhs_init) and x0 is not None and conv_cols is not None
+    if x0 is not None and not lagged:
         if n_tridiag_iter > 0 and conv_cols is None:
             raise ValueError(
                 "linear_cg: x0 warm start is incompatible with tridiag extraction "
@@ -109,11 +116,19 @@ def linear_cg(
             )
         x0 = x0 / rhs_norm
         r0 = b - matmul_fn(x0)
+    elif lagged:
+        x0_dir = x0 / rhs_norm  # becomes the gated columns' first search direction
+        x0 = jnp.zeros_like(b)
+        r0 = b
     else:
         x0 = jnp.zeros_like(b)
         r0 = b
     z0 = precond_fn(r0)
-    p0 = z0
+    if lagged:
+        _gate_mask = jnp.arange(b.shape[-1]) < conv_cols
+        p0 = jnp.where(_gate_mask, x0_dir, z0)
+    else:
+        p0 = z0
     rz0 = _reduce_sum(r0 * z0, -2)  # (..., t)
 
     batch_t = rz0.shape
@@ -169,6 +184,11 @@ def linear_cg(
         safe_pAp = jnp.where(krylov_dead, jnp.ones_like(pAp), pAp)
         alpha_raw = rz / safe_pAp
         alpha = jnp.where(jnp.logical_or(conv, krylov_dead), jnp.zeros_like(alpha_raw), alpha_raw)
+        if lagged:
+            # first iteration, gated columns: forced α=1 turns the ordinary update into
+            # the warm-start init x ← x₀ (p was seeded with x₀), r ← b − A x₀
+            _first_gated = jnp.logical_and(k == 0, jnp.arange(alpha.shape[-1]) < conv_cols)
+            alpha = jnp.where(_first_gated, jnp.ones_like(alpha), alpha)
 
         x = x + alpha[..., None, :] * p
         r = r - alpha[..., None, :] * Ap
@@ -185,6 +205,9 @@ def linear_cg(
         safe_rz = jnp.where(jnp.abs(rz) < eps, jnp.ones_like(rz), rz)
         beta_raw = rz_new / safe_rz
         beta = jnp.where(jnp.logical_or(conv_new, krylov_dead), jnp.zeros_like(beta_raw), beta_raw)
+        if lagged:
+            # gated columns restart from steepest descent after the forced init step
+            beta = jnp.where(_first_gated, jnp.zeros_like(beta), beta)
         p = z + beta[..., None, :] * p
 
         if n_tridiag_iter > 0:

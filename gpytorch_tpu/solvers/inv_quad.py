@@ -280,6 +280,9 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
         global_n=n,
         x0=x0_cg,
         conv_cols=conv_cols,
+        # settings.cg_lagged_rhs: fold the warm-start residual matvec into the first
+        # iteration (read at trace time — the caller's settings context is active here)
+        lagged_rhs_init=cfg.warm_rhs and settings.cg_lagged_rhs.on(),
     )
     solves = result.solution
 

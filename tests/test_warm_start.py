@@ -353,3 +353,60 @@ def test_bad_state_width_raises():
     with gp.settings.max_cholesky_size(0), gp.settings.num_trace_samples(8), \
          pytest.raises(ValueError, match="columns"):
         mll(m(x), y, solver_state=st, return_state=True)
+
+
+def test_lagged_rhs_init_matches_standard_warm():
+    """settings.cg_lagged_rhs folds the warm-start residual matvec into iteration 1
+    (forced alpha=1, beta=0 on the gated column): solution parity with the standard
+    warm path, IDENTICAL probe tridiagonals, and zero-x0 (first step) safety."""
+    m, x, y = _model()
+    with _ctx_rhs():
+        covar = m.likelihood.marginal(m(x)).lazy_covariance_matrix.evaluate_kernel()
+        apply_P, _, _ = covar._preconditioner()
+        rhs = (y - jnp.mean(y))[:, None]
+        probes = jax.random.normal(jax.random.PRNGKey(3), (x.shape[0], 8), jnp.float32)
+        b = jnp.concatenate([rhs, probes], -1)
+        cold = linear_cg(covar._matmul, b, precond_fn=apply_P, tolerance=1e-4,
+                         n_tridiag_iter=10)
+        x0 = jnp.concatenate([cold.solution[:, :1] * 1.001, jnp.zeros_like(probes)], -1)
+        std = linear_cg(covar._matmul, b, precond_fn=apply_P, tolerance=1e-4,
+                        n_tridiag_iter=10, x0=x0, conv_cols=1)
+        lag = linear_cg(covar._matmul, b, precond_fn=apply_P, tolerance=1e-4,
+                        n_tridiag_iter=10, x0=x0, conv_cols=1, lagged_rhs_init=True)
+    # probe tridiagonals: bit-identical (the lagged column does not touch probe algebra)
+    np.testing.assert_array_equal(np.asarray(std.alphas[:, 1:]), np.asarray(lag.alphas[:, 1:]))
+    np.testing.assert_array_equal(np.asarray(std.betas[:, 1:]), np.asarray(lag.betas[:, 1:]))
+    # rhs solution parity
+    np.testing.assert_allclose(np.asarray(lag.solution[:, 0]), np.asarray(std.solution[:, 0]),
+                               rtol=1e-3, atol=1e-4)
+    # zero x0 (the first training step's state) must behave as a cold solve
+    with _ctx_rhs():
+        lag0 = linear_cg(covar._matmul, b, precond_fn=apply_P, tolerance=1e-4,
+                         n_tridiag_iter=10, x0=jnp.zeros_like(b), conv_cols=1,
+                         lagged_rhs_init=True)
+    np.testing.assert_allclose(np.asarray(lag0.solution[:, 0]), np.asarray(cold.solution[:, 0]),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_lagged_rhs_mll_training_value_parity():
+    """End-to-end: the rhs-warm MLL under settings.cg_lagged_rhs matches the standard
+    warm MLL at the same key/state (value and gradients)."""
+    m, x, y = _model()
+    params = m.trainable_params()
+
+    def loss_fn(p, st, k, lagged):
+        mm = m.with_params(p)
+        with _ctx_rhs(), gp.settings.cg_lagged_rhs(lagged):
+            mll2 = ExactMarginalLogLikelihood(mm.likelihood, mm)
+            val, new_st = mll2(mm(x), y, key=k, solver_state=st, return_state=True)
+        return -val, new_st
+
+    k = jax.random.PRNGKey(42)
+    st0 = jnp.zeros((x.shape[0], 1), jnp.float32)
+    # one cold-ish call to obtain a converged warm state
+    (_, st1), _ = jax.value_and_grad(loss_fn, has_aux=True)(params, st0, k, False)
+    (l_std, _), g_std = jax.value_and_grad(loss_fn, has_aux=True)(params, st1, k, False)
+    (l_lag, _), g_lag = jax.value_and_grad(loss_fn, has_aux=True)(params, st1, k, True)
+    np.testing.assert_allclose(float(l_lag), float(l_std), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_std), jax.tree_util.tree_leaves(g_lag)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4)
