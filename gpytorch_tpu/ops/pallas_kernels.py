@@ -466,7 +466,10 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
         sub = _BM // n_sub
         dv_acc = None
         dx_acc = None
-        dos_acc = jnp.zeros((), jnp.float32) if need_dos else None
+        # dos accumulator stays VECTOR-shaped (1, 128): a rank-0 reduction inside the
+        # kernel serializes on the VPU (measured ~+35 ms/call — a full matvec-equivalent);
+        # cross-lane folding happens once outside the kernel instead
+        dos_acc = jnp.zeros((1, 128), jnp.float32) if need_dos else None
         row_ids = i * _BN + jax.lax.broadcasted_iota(jnp.int32, (_BN, sub), 0)
         for s in range(n_sub):
             b_s = x2_ref[s * sub : (s + 1) * sub, :]
@@ -517,8 +520,16 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
             dx_p = 2.0 * (rowsum * a - Wx)
             if need_dos:
                 # Σ_ij kv_ij (g_i·v_j): the unscaled-kernel quadratic form — zero-padded
-                # g/v rows/cols contribute exactly 0, so no masking is needed
-                dos_acc = dos_acc + jnp.sum(kv * gv)
+                # g/v rows/cols contribute exactly 0, so no masking is needed.  Reduce
+                # rows (sublanes) in-kernel, fold the column partial into 128 lanes.
+                _ps = jnp.sum(kv * gv, axis=0, keepdims=True)  # (1, sub)
+                for _c in range(0, _ps.shape[1], 128):
+                    _seg = _ps[:, _c : _c + 128]
+                    if _seg.shape[1] < 128:  # small test tiles (sub < 128)
+                        _seg = jnp.concatenate(
+                            [_seg, jnp.zeros((1, 128 - _seg.shape[1]), jnp.float32)], axis=1
+                        )
+                    dos_acc = dos_acc + _seg
             if need_dv:
                 dv_acc = dv_p if dv_acc is None else dv_acc + dv_p
             dx_acc = dx_p if dx_acc is None else dx_acc + dx_p
@@ -529,11 +540,8 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
                 dv_ref[:] = dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_acc.astype(dx_ref.dtype)
             if need_dos:
-                _m = jnp.logical_and(
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0,
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0,
-                )
-                dos_ref[:] = jnp.where(_m, dos_acc, 0.0).astype(dos_ref.dtype)
+                _row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+                dos_ref[:] = jnp.where(_row0, jnp.broadcast_to(dos_acc, (8, 128)), 0.0)
 
         @pl.when(j != 0)
         def _():
@@ -541,11 +549,10 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
                 dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
             if need_dos:
-                _m = jnp.logical_and(
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0,
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0,
+                _row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+                dos_ref[:] = dos_ref[:] + jnp.where(
+                    _row0, jnp.broadcast_to(dos_acc, (8, 128)), 0.0
                 )
-                dos_ref[:] = dos_ref[:] + jnp.where(_m, dos_acc, 0.0).astype(dos_ref.dtype)
 
     n_i = Np // _BN
     _dv_out_spec = [pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0))] if need_dv else []

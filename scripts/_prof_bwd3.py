@@ -42,8 +42,12 @@ def main():
                    jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=True)[:2]), g, v)
             timeit(f"bwd_nodv_t{t}_s",
                    jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=False)[1]), g, v)
+            timeit(f"bwd_nodv_dos_t{t}_s",
+                   jax.jit(lambda g, v: pk._bwd_fused_pallas(x, g, v, pk.RBF, need_dv=False,
+                                                             need_dos=True)[1:]), g, v)
     print("PROF_BWD3 DONE", flush=True)
 
 
 if __name__ == "__main__":
     main()
+# (appended r5) quick dos-cost check: python scripts/_prof_bwd3.py dos
