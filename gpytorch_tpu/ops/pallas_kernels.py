@@ -37,6 +37,7 @@ PERIODIC = 4  # reference KeOps parity: kernels/keops/periodic_kernel.py:24
 _BN = 1024   # row tile (swept on v5e: (1024, 2048) beats (512, 1024) by ~6%)
 _BM = 2048   # column tile
 _LANE = 128
+_NSUB_OVERRIDE = None  # grid-tuning hook (scripts/_prof_grid.py); None = mode default
 
 
 def _kernel_fn(d2, kernel_type: int):
@@ -246,7 +247,7 @@ def _matvec_pallas(x1, x2, v, kernel_type: int):
     # cbf16 materializes one bf16 K copy (k_hi) on top of d2/kv — at the full (BN, BM)
     # tile that is 8+8+4 MB against the 16 MB VMEM budget unless Mosaic aliases d2→kv,
     # so it also sub-blocks (the inner loop adds no grid overhead, measured ~free for high)
-    n_sub = 2 if (high or cbf16) else 1
+    n_sub = _NSUB_OVERRIDE if _NSUB_OVERRIDE else (2 if (high or cbf16) else 1)
     bm = _BM
     Np, Mp = _round_up(n, _BN), _round_up(m, bm)
     Dp = max(_round_up(d, 8), 8)

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-5 chip queue C: timing validation of the FIXED dos accumulator (queue A's arm 1
+# ran the slow rank-0 variant) + kernel-level dos cost + full-profile of the final stack.
+cd /root/repo
+OUT=${1:-/tmp/sweep_r5c.jsonl}
+: > "$OUT"
+echo '{"run": "prof_bwd3_dos"}' >> "$OUT"
+timeout 1500 python scripts/_prof_bwd3.py 2>>/tmp/sweep_r5c_err.log | grep '^{' >> "$OUT"
+echo '{"run": "prof_bwd2_final"}' >> "$OUT"
+timeout 1800 python scripts/_prof_bwd2.py 2>>/tmp/sweep_r5c_err.log | grep '^{' >> "$OUT"
+echo '{"run": "prof_grid"}' >> "$OUT"
+timeout 2400 python scripts/_prof_grid.py 2>>/tmp/sweep_r5c_err.log | grep '^{' >> "$OUT"
+echo '{"run": "timing_seed5"}' >> "$OUT"
+timeout 1800 env BENCH_FAST=1 BENCH_SEED=5 python bench.py 2>>/tmp/sweep_r5c_err.log | tail -1 >> "$OUT"
+echo DONE >> "$OUT"
