@@ -164,18 +164,23 @@ class LazyEvaluatedKernelOperator(LinearOperator):
                 x1i, x2i, lsi, ri = args[:4]
                 center = jax.lax.stop_gradient(jnp.mean(x1i, axis=-2, keepdims=True))
                 osi = args[4] if os_b is not None else None
+                # grad-only twins: primal dead at the call site (mBCG backward) — skip
+                # the Pallas pass, keep the VJP (settings.matvec_grad_only)
+                _go = settings.matvec_grad_only.on()
+                _scaled = pk.fused_scaled_kernel_matvec_grad_only if _go else pk.fused_scaled_kernel_matvec
+                _plain = pk.fused_kernel_matvec_grad_only if _go else pk.fused_kernel_matvec
                 if sym:
                     xsi = (x1i - center) / lsi
                     if osi is not None:
-                        out = pk.fused_scaled_kernel_matvec(xsi, xsi, ri, osi, ktype)
+                        out = _scaled(xsi, xsi, ri, osi, ktype)
                     else:
-                        out = pk.fused_kernel_matvec(xsi, xsi, ri, ktype)
+                        out = _plain(xsi, xsi, ri, ktype)
                 else:
                     xs1i, xs2i = (x1i - center) / lsi, (x2i - center) / lsi
                     if osi is not None:
-                        out = pk.fused_scaled_kernel_matvec(xs1i, xs2i, ri, osi, ktype)
+                        out = _scaled(xs1i, xs2i, ri, osi, ktype)
                     else:
-                        out = pk.fused_kernel_matvec(xs1i, xs2i, ri, ktype)
+                        out = _plain(xs1i, xs2i, ri, ktype)
             return out
 
         args = (x1, x2, ls_b, rhs_b) + ((per,) if periodic else ()) + (
@@ -210,18 +215,23 @@ class LazyEvaluatedKernelOperator(LinearOperator):
             # backward; rhs-side association would have routed σ²_bar through that
             # deleted dv and silently zeroed the outputscale gradient)
             center = jax.lax.stop_gradient(jnp.mean(x1, axis=-2, keepdims=True))
+            # grad-only twins: primal dead at the call site (mBCG backward) — skip the
+            # Pallas pass, keep the VJP (settings.matvec_grad_only)
+            _go = settings.matvec_grad_only.on()
+            _scaled = pk.fused_scaled_kernel_matvec_grad_only if _go else pk.fused_scaled_kernel_matvec
+            _plain = pk.fused_kernel_matvec_grad_only if _go else pk.fused_kernel_matvec
             if x1 is x2:
                 xs = (x1 - center) / ls
                 if outputscale is not None:
-                    out = pk.fused_scaled_kernel_matvec(xs, xs, rhs, outputscale, ktype)
+                    out = _scaled(xs, xs, rhs, outputscale, ktype)
                 else:
-                    out = pk.fused_kernel_matvec(xs, xs, rhs, ktype)
+                    out = _plain(xs, xs, rhs, ktype)
             else:
                 xs1, xs2 = (x1 - center) / ls, (x2 - center) / ls
                 if outputscale is not None:
-                    out = pk.fused_scaled_kernel_matvec(xs1, xs2, rhs, outputscale, ktype)
+                    out = _scaled(xs1, xs2, rhs, outputscale, ktype)
                 else:
-                    out = pk.fused_kernel_matvec(xs1, xs2, rhs, ktype)
+                    out = _plain(xs1, xs2, rhs, ktype)
         return out
 
     def _matmul_chunked(self, rhs):

@@ -741,6 +741,49 @@ fused_scaled_kernel_matvec.defvjp(_fskm_fwd, _fskm_bwd)
 
 
 # ----------------------------------------------------------------------------------------
+# grad-only twins: primal returns ZEROS without touching the MXU; VJP identical.
+#
+# For call sites where the matvec output is provably dead — every downstream op is linear
+# in it, so the cotangent chain never reads the primal values.  The one such site is the
+# mBCG backward's scalar_fn (solvers/inv_quad.py::_mbcg_bwd): jax.vjp executes the primal
+# regardless, and a Pallas call is opaque to XLA DCE, so routing the dispatch here
+# (settings.matvec_grad_only) deletes one full streaming matvec (~35 ms at N=100k) per
+# training step.  The reference never pays this cost to begin with: torch's
+# _quad_form_derivative is a pure backward routine with no forward matmul.
+# ----------------------------------------------------------------------------------------
+
+def _go_zeros(x1, v):
+    return jnp.zeros((x1.shape[0], v.shape[1]), jnp.result_type(x1.dtype, v.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_kernel_matvec_grad_only(x1, x2, v, kernel_type: int):
+    """Shape/dtype-faithful zeros for K(x1,x2)@v; full VJP.  See module comment above."""
+    return _go_zeros(x1, v)
+
+
+def _fkm_go_fwd(x1, x2, v, kernel_type):
+    return _go_zeros(x1, v), (x1, x2, v)
+
+
+fused_kernel_matvec_grad_only.defvjp(_fkm_go_fwd, _fkm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_scaled_kernel_matvec_grad_only(x1, x2, v, outputscale, kernel_type: int):
+    """Shape/dtype-faithful zeros for σ²·K(x1,x2)@v; full VJP (incl. the in-register σ²
+    cotangent).  See module comment above."""
+    return _go_zeros(x1, v)
+
+
+def _fskm_go_fwd(x1, x2, v, outputscale, kernel_type):
+    return _go_zeros(x1, v), (x1, x2, v, outputscale)
+
+
+fused_scaled_kernel_matvec_grad_only.defvjp(_fskm_go_fwd, _fskm_bwd)
+
+
+# ----------------------------------------------------------------------------------------
 # fused PERIODIC kernel matvec (KeOps parity: kernels/keops/periodic_kernel.py:24)
 #   K_ij = exp(−2 Σ_d w_d sin²(π (a_id − b_jd)))  with a = x1/period, w = 1/ℓ²
 # ----------------------------------------------------------------------------------------

@@ -246,6 +246,24 @@ class skip_matvec_cotangent(_feature_flag):
     _default = False
 
 
+class matvec_grad_only(_feature_flag):
+    """Dispatch fused kernel matvecs to their *grad-only* twin primitives: the primal
+    returns zeros **without running the Pallas kernel**; the VJP is unchanged.
+
+    ONLY safe where every op downstream of the matvec output is linear in it, so the
+    cotangent computation never reads the primal values.  That is exactly the mBCG
+    backward's ``scalar_fn`` (solvers/inv_quad.py::_mbcg_bwd): the quad/logdet gradient
+    estimators are weighted sums of ``s ⊙ (K s')`` terms whose VJP w.r.t. the kernel
+    hyperparameters needs only the saved factors ``(s, s')`` — but ``jax.vjp`` executes
+    the primal anyway, and the Pallas call is opaque to XLA DCE, costing one full
+    streaming matvec (~35 ms at N=100k) whose output is provably dead.  Entered
+    automatically by that backward; not a user knob.  TPU-specific; no reference
+    analogue (torch's _quad_form_derivative never runs a forward matmul —
+    /root/reference — linear_operator ``_quad_form_derivative``)."""
+
+    _default = False
+
+
 class fast_precond_grad(_feature_flag):
     """Gradient of the pivoted-Cholesky preconditioner root via the fixed-pivot Nyström
     form (value stays the scan-built factor through a stop-gradient straddle, so forward

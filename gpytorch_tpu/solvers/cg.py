@@ -340,8 +340,10 @@ def _linear_solve_cg_bwd(tol, res, g):
         return -jnp.sum(u * lo._matmul(jax.lax.stop_gradient(sol)))
 
     # every matvec operand in quad is stop-gradiented — skip the dead dv = Kᵀg MXU
-    # product inside any fused-kernel VJP traced here (settings.skip_matvec_cotangent)
-    with settings.skip_matvec_cotangent(True):
+    # product inside any fused-kernel VJP traced here (settings.skip_matvec_cotangent);
+    # quad is linear in the matvec output, so the fused primal itself is dead too —
+    # dispatch to the grad-only twins (settings.matvec_grad_only)
+    with settings.skip_matvec_cotangent(True), settings.matvec_grad_only(True):
         _, vjp = jax.vjp(quad, linop)
         (linop_bar,) = vjp(jnp.ones((), dtype=sol.dtype))
     return linop_bar, u

@@ -400,7 +400,7 @@ def _mbcg_bwd(cfg, residuals, g):
             settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high), \
             settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16), \
             settings.fast_precond_grad(cfg.fast_pc_grad), \
-            settings.skip_matvec_cotangent(True):
+            settings.skip_matvec_cotangent(True), settings.matvec_grad_only(True):
         _, vjp = jax.vjp(scalar_fn, linop)
         # the cotangent application must ALSO run inside the with-block: nested custom-vjp
         # backwards (e.g. _fkm_bwd → _bwd_fused_pallas, which reads use_pallas and the

@@ -491,3 +491,66 @@ def test_fused_scaled_kernel_matvec_grads():
     np.testing.assert_allclose(float(got_skip[2]), float(want[2]), rtol=3e-4,
                                err_msg="outputscale cotangent must survive skip_matvec_cotangent")
     assert float(jnp.max(jnp.abs(got_skip[1]))) == 0.0  # v cotangent intentionally dropped
+
+
+def test_grad_only_twins_zero_primal_identical_vjp():
+    """The grad-only twins (settings.matvec_grad_only dispatch targets) return a ZERO
+    primal without running the kernel, but their cotangents are bit-identical to the
+    real primitives' — the contract that makes them safe inside the mBCG/CG backwards,
+    where every downstream op is linear in the matvec output."""
+    x, _, _ = _data(n=170, m=170, d=3, t=3, seed=95)
+    v = jax.random.normal(jax.random.PRNGKey(96), (170, 3), dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(97), (170, 3), dtype=jnp.float32)
+    os_ = jnp.float32(1.3)
+
+    # unscaled twin
+    val = pk.fused_kernel_matvec_grad_only(x, x, v, pk.RBF)
+    assert float(jnp.max(jnp.abs(val))) == 0.0
+    def loss_real(x_, v_):
+        return jnp.sum(g * pk.fused_kernel_matvec(x_, x_, v_, pk.RBF))
+    def loss_go(x_, v_):
+        return jnp.sum(g * pk.fused_kernel_matvec_grad_only(x_, x_, v_, pk.RBF))
+    want = jax.grad(loss_real, argnums=(0, 1))(x, v)
+    got = jax.grad(loss_go, argnums=(0, 1))(x, v)
+    for gg, ww, name in zip(got, want, ("dx", "dv")):
+        np.testing.assert_array_equal(gg, ww, err_msg=name)
+
+    # scaled twin (σ² cotangent must survive with skip_matvec_cotangent, the mBCG config)
+    val = pk.fused_scaled_kernel_matvec_grad_only(x, x, v, os_, pk.RBF)
+    assert float(jnp.max(jnp.abs(val))) == 0.0
+    def sloss_real(x_, v_, s_):
+        return jnp.sum(g * pk.fused_scaled_kernel_matvec(x_, x_, v_, s_, pk.RBF))
+    def sloss_go(x_, v_, s_):
+        return jnp.sum(g * pk.fused_scaled_kernel_matvec_grad_only(x_, x_, v_, s_, pk.RBF))
+    with gp.settings.skip_matvec_cotangent(True):
+        want = jax.grad(sloss_real, argnums=(0, 1, 2))(x, v, os_)
+        got = jax.grad(sloss_go, argnums=(0, 1, 2))(x, v, os_)
+    for gg, ww, name in zip(got, want, ("dx", "dv", "dos")):
+        np.testing.assert_array_equal(gg, ww, err_msg=name)
+
+
+def test_matvec_grad_only_flag_dispatches_in_lazy_kernel():
+    """Under settings.matvec_grad_only the LazyEvaluatedKernelOperator fused matmul
+    yields a zero primal but the true hyperparameter gradient (the mBCG-backward
+    dispatch contract, solvers/inv_quad.py::_mbcg_bwd)."""
+    import gpytorch_tpu as gpt
+
+    n = 90
+    x = jax.random.normal(jax.random.PRNGKey(98), (n, 3), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(99), (n, 2), dtype=jnp.float32)
+    kern = gpt.kernels.ScaleKernel(gpt.kernels.RBFKernel(ard_num_dims=3))
+
+    def loss_inputs(x_, grad_only):
+        lazy = kern(x_, x_)
+        with gpt.settings.use_pallas(True), gpt.settings.matvec_grad_only(grad_only), \
+                gpt.settings.memory_efficient(True):  # force the fused path at test size
+            out = lazy._matmul(v)
+        return jnp.sum(out * v), out
+
+    (val_real, out_real), grad_real = jax.value_and_grad(
+        lambda x_: loss_inputs(x_, False), has_aux=True)(x)
+    (val_go, out_go), grad_go = jax.value_and_grad(
+        lambda x_: loss_inputs(x_, True), has_aux=True)(x)
+    assert float(jnp.max(jnp.abs(out_go))) == 0.0
+    assert float(jnp.max(jnp.abs(out_real))) > 0.0
+    np.testing.assert_allclose(grad_go, grad_real, rtol=1e-6, atol=1e-7)
