@@ -145,6 +145,36 @@ def _grad_identity():
     return {"rel_grad_err_per_param": out}
 
 
+@check("grad_only_twins_real_chip")
+def _grad_only_twins():
+    # grad-only twin primitives (settings.matvec_grad_only): zero primal, cotangents
+    # identical to the real primitives' — on the real chip (the Pallas backward runs)
+    import numpy as np
+
+    import gpytorch_tpu as gp
+    from gpytorch_tpu.ops import pallas_kernels as pk
+
+    x, v = _data(2048, seed=7)
+    g = jax.random.normal(jax.random.PRNGKey(9), v.shape, dtype=jnp.float32)
+    os_ = jnp.float32(1.2)
+
+    val = jax.jit(lambda: pk.fused_scaled_kernel_matvec_grad_only(x, x, v, os_, pk.RBF))()
+    assert float(jnp.max(jnp.abs(val))) == 0.0
+
+    def loss_real(x_, v_, s_):
+        return jnp.sum(g * pk.fused_scaled_kernel_matvec(x_, x_, v_, s_, pk.RBF))
+
+    def loss_go(x_, v_, s_):
+        return jnp.sum(g * pk.fused_scaled_kernel_matvec_grad_only(x_, x_, v_, s_, pk.RBF))
+
+    with gp.settings.skip_matvec_cotangent(True), gp.settings.kernel_matvec_high(True):
+        want = jax.jit(jax.grad(loss_real, argnums=(0, 2)))(x, v, os_)
+        got = jax.jit(jax.grad(loss_go, argnums=(0, 2)))(x, v, os_)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(got[1]), float(want[1]), rtol=1e-6)
+    return {"dx_maxdiff": float(jnp.max(jnp.abs(got[0] - want[0])))}
+
+
 @check("love_serving_smoke")
 def _love():
     import gpytorch_tpu as gp
