@@ -115,6 +115,12 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     # matvec into iteration 1 — NTRI matvecs/step instead of NTRI+1 (~35 ms at N=100k).
     # The warm rhs column gets NTRI−1 in-loop updates (convergence-gated past the floor).
     st.enter_context(gp.settings.cg_lagged_rhs(os.environ.get("BENCH_LAGGED", "1") == "1"))
+    # BENCH_GRAD_BF16: one-pass bf16 K tiles in the mBCG backward's dK contractions only
+    # (settings.mbcg_grad_bf16) — forward solves keep BENCH_TRAIN_PREC.  The SLQ hyper
+    # gradient carries 0.1-0.4% probe noise, so bf16 rounding sits inside the band while
+    # halving the backward kernel's MXU work.  Default per on-chip quality validation
+    # (docs/perf-accounting.md round-5 campaign).
+    st.enter_context(gp.settings.mbcg_grad_bf16(os.environ.get("BENCH_GRAD_BF16", "0") == "1"))
     # VR logdet gradient is ON by default with rhs-warm solves: it confines the probe
     # truncation error to the small variance-reduced residual term (costs ~50 ms/step
     # for the differentiable P rebuild in the backward)

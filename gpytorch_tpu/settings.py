@@ -264,6 +264,23 @@ class matvec_grad_only(_feature_flag):
     _default = False
 
 
+class mbcg_grad_bf16(_feature_flag):
+    """Run the mBCG backward's dK contractions (the fused backward kernel's K tiles) in
+    one-pass bf16, regardless of the forward solve precision.
+
+    The BBMM/SLQ hyperparameter gradient is a stochastic estimate whose probe-sampling
+    noise is 0.1-0.4% of the dense gradient (measured per-parameter vs Cholesky at the
+    N=100k flagship); one-pass bf16 rounding contributes ~4e-3 *relative* — inside that
+    band — while halving the backward kernel's MXU work.  Forward solves (CG residuals,
+    SLQ tridiagonals, preconditioner applies) keep their configured precision: solve
+    accuracy gates quality much harder than gradient rounding.  Captured into the mBCG
+    custom-VJP config at call time (solvers/inv_quad.py::_IQConfig.grad_bf16).
+    TPU-native extension; the reference runs f32/f64 autograd throughout
+    (/root/reference/gpytorch/functions/_inv_quad_logdet.py)."""
+
+    _default = False
+
+
 class fast_precond_grad(_feature_flag):
     """Gradient of the pivoted-Cholesky preconditioner root via the fixed-pivot Nyström
     form (value stays the scan-built factor through a stop-gradient straddle, so forward
@@ -720,6 +737,7 @@ class SolverConfig:
     kernel_matvec_high: bool = False
     kernel_matvec_consistent_bf16: bool = False
     fast_precond_grad: bool = True
+    mbcg_grad_bf16: bool = False
 
 
 def snapshot(dtype=None) -> SolverConfig:
@@ -749,4 +767,5 @@ def snapshot(dtype=None) -> SolverConfig:
         kernel_matvec_high=bool(kernel_matvec_high.on()),
         kernel_matvec_consistent_bf16=bool(kernel_matvec_consistent_bf16.on()),
         fast_precond_grad=bool(fast_precond_grad.on()),
+        mbcg_grad_bf16=bool(mbcg_grad_bf16.on()),
     )

@@ -54,6 +54,11 @@ class _IQConfig:
     mv_high: bool = False
     mv_cbf16: bool = False
     fast_pc_grad: bool = True
+    # one-pass bf16 K tiles in the BACKWARD's dK contractions only (forward solves keep
+    # their precision).  The SLQ/BBMM hyper-gradient already carries 0.1-0.4% sampling
+    # noise vs dense (probe variance), so the ~4e-3 relative bf16 rounding sits inside
+    # the existing noise band while halving the backward kernel's MXU work
+    grad_bf16: bool = False
     # warm-started solves: CG starts from the caller-supplied previous solution
     warm: bool = False
     # rhs-only warm mode: state carries only the rhs columns; probes are FRESH each call
@@ -160,6 +165,7 @@ def inv_quad_logdet_mbcg(
         mv_high=bool(getattr(sc, "kernel_matvec_high", False)),
         mv_cbf16=bool(getattr(sc, "kernel_matvec_consistent_bf16", False)),
         fast_pc_grad=bool(getattr(sc, "fast_precond_grad", True)),
+        grad_bf16=bool(getattr(sc, "mbcg_grad_bf16", False)),
     )
     n = linop.shape[-1]
     if has_rhs:
@@ -393,12 +399,19 @@ def _mbcg_bwd(cfg, residuals, g):
     # backward's numerics silently follow whatever flags are ambient at bwd-trace time
     # (e.g. an f32 backward matvec under a bf16-trained forward, or a VR d log|P| built
     # from an un-τ-regularized P — a biased gradient).
+    # cfg.grad_bf16 (settings.mbcg_grad_bf16): the backward's dK contractions run one-pass
+    # bf16 K tiles regardless of the forward solve precision — the hyper-gradient is an
+    # SLQ estimate with 0.1-0.4% probe-sampling noise, so bf16 rounding (~4e-3 relative)
+    # is inside the existing band while halving the backward kernel's MXU work
+    _g_bf16 = cfg.grad_bf16
     with settings.max_preconditioner_size(cfg.pc_rank), settings.min_preconditioning_size(cfg.pc_min_size), \
             settings.preconditioner_noise_budget(cfg.pc_noise_budget), \
             settings.preconditioner_highest_precision(cfg.pc_highest), \
-            settings.use_pallas(cfg.use_pallas), settings.kernel_matvec_bf16(cfg.mv_bf16), \
-            settings.kernel_matvec_highest(cfg.mv_highest), settings.kernel_matvec_high(cfg.mv_high), \
-            settings.kernel_matvec_consistent_bf16(cfg.mv_cbf16), \
+            settings.use_pallas(cfg.use_pallas), \
+            settings.kernel_matvec_bf16(True if _g_bf16 else cfg.mv_bf16), \
+            settings.kernel_matvec_highest(False if _g_bf16 else cfg.mv_highest), \
+            settings.kernel_matvec_high(False if _g_bf16 else cfg.mv_high), \
+            settings.kernel_matvec_consistent_bf16(False if _g_bf16 else cfg.mv_cbf16), \
             settings.fast_precond_grad(cfg.fast_pc_grad), \
             settings.skip_matvec_cotangent(True), settings.matvec_grad_only(True):
         _, vjp = jax.vjp(scalar_fn, linop)

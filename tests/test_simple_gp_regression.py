@@ -166,3 +166,28 @@ def test_mbcg_gradients_close_to_cholesky():
         ge, gb = np.asarray(g_exact[k]), np.asarray(g_bbmm[k])
         # logdet gradient is stochastic (trace estimator) — loose tolerance
         np.testing.assert_allclose(gb, ge, rtol=0.15, atol=0.02, err_msg=k)
+
+
+def test_mbcg_gradients_grad_bf16_within_band():
+    """settings.mbcg_grad_bf16 (one-pass bf16 K tiles in the BACKWARD dK contractions
+    only) must stay inside the stochastic-estimator tolerance band vs dense Cholesky —
+    the contract that lets the bench run it by default (forward solves keep their
+    precision; only the hyper-gradient contraction is rounded)."""
+    train_x, train_y, _, _ = _make_data(150)
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    lik.noise = 0.1
+    params = model.trainable_params()
+
+    def loss_fn(p):
+        m = model.with_params(p)
+        return -ExactMarginalLogLikelihood(m.likelihood, m)(m(train_x), train_y)
+
+    g_exact = jax.grad(loss_fn)(params)
+    with gp.settings.max_cholesky_size(0), gp.settings.cg_tolerance(1e-8), \
+            gp.settings.num_trace_samples(128), gp.settings.max_lanczos_quadrature_iterations(50), \
+            gp.settings.min_preconditioning_size(10000), gp.settings.mbcg_grad_bf16(True):
+        g_bf16 = jax.grad(loss_fn)(params)
+    for k in params:
+        ge, gb = np.asarray(g_exact[k]), np.asarray(g_bf16[k])
+        np.testing.assert_allclose(gb, ge, rtol=0.15, atol=0.02, err_msg=k)
