@@ -84,14 +84,28 @@ def _warm_default():
     return os.environ.get("BENCH_WARM", "rhs")
 
 
+def _honest() -> bool:
+    """BENCH_HONEST=1: the honest-estimator quality recipe (docs/perf-accounting.md,
+    round-5 noise-prior campaign).  The rhs CG column must GENUINELY converge (tol 0.05,
+    stall window 50) so the inv-quad estimate carries no truncation/stall bias; with the
+    bias gone, reference-like constraints hold the calibrated basin — noise floor 1e-4 +
+    weak LogNormal(−4,1) noise prior, no task-derived floor.  Measured: RMSE 0.1791,
+    joint NLL −0.297 (best of round 5), noise 0.036, 0.52 s/iter (×1.23 the fast
+    default).  Individual BENCH_* envs still override."""
+    import os
+
+    return os.environ.get("BENCH_HONEST", "0") == "1"
+
+
 def _solver_ctx(gp, use_pallas=True, bf16=True):
     import os
 
     _wm = _warm_default()
+    _hn = _honest()
     st = contextlib.ExitStack()
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(int(os.environ.get("BENCH_MAXITER", "100"))))
-    st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "1.0"))))
+    st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "0.05" if _hn else "1.0"))))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "63"))))
     # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
     # rhs-warm mode = ALSO the probe-solve iteration floor.  7 is the round-4 validated
@@ -107,7 +121,7 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
         gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", _ntri_default)))
     )
     st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "50"))))
-    st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "5"))))
+    st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "50" if _hn else "5"))))
     # Unroll CG's mandatory floor iterations as straight-line XLA (the rhs-warm default
     # runs exactly NTRI iterations, all of them floor-forced, so the whole solve unrolls)
     st.enter_context(gp.settings.cg_unroll(int(os.environ.get("BENCH_UNROLL", "0"))))
@@ -227,12 +241,13 @@ def main():
     # noise, exploding the conditioning.
     import os as _osf
 
-    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "2.0e-2"))
+    _hn_model = _honest()
+    _noise_floor = float(_osf.environ.get("BENCH_NOISE_FLOOR", "1e-4" if _hn_model else "2.0e-2"))
     # BENCH_NOISE_PRIOR=lognormal: LogNormal(−4, 1) default noise prior — the
     # task-agnostic standardized-data default (botorch's modern choice) — meant to
     # replace the task-tuned constraint floor (pair with BENCH_NOISE_FLOOR=1e-4).
     # VERDICT r4 ask #3; quality sweep in docs/perf-accounting.md.
-    _np_mode = _osf.environ.get("BENCH_NOISE_PRIOR", "none")
+    _np_mode = _osf.environ.get("BENCH_NOISE_PRIOR", "lognormal" if _hn_model else "none")
     _noise_prior = gp.priors.LogNormalPrior(-4.0, 1.0) if _np_mode == "lognormal" else None
     lik = GaussianLikelihood(
         noise_prior=_noise_prior, noise_constraint=gp.constraints.GreaterThan(_noise_floor)
