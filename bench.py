@@ -135,6 +135,9 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     # halving the backward kernel's MXU work.  Default per on-chip quality validation
     # (docs/perf-accounting.md round-5 campaign).
     st.enter_context(gp.settings.mbcg_grad_bf16(os.environ.get("BENCH_GRAD_BF16", "0") == "1"))
+    # BENCH_RAD: Rademacher (±1) probe base draws (settings.rademacher_probes) — identical
+    # covariance, strictly lower Hutchinson variance than Gaussian, zero cost.
+    st.enter_context(gp.settings.rademacher_probes(os.environ.get("BENCH_RAD", "0") == "1"))
     # VR logdet gradient is ON by default with rhs-warm solves: it confines the probe
     # truncation error to the small variance-reduced residual term (costs ~50 ms/step
     # for the differentiable P rebuild in the backward)

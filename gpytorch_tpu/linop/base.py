@@ -34,6 +34,17 @@ def _matmul_dtype(dtype):
     return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
 
 
+def probe_base_samples(key, shape, dtype):
+    """Base i.i.d. draw for probe vectors: standard normal, or Rademacher (±1) under
+    ``settings.rademacher_probes`` — same covariance (identity), strictly lower
+    quadratic-form estimator variance (Avron & Toledo 2011).  Every probe site (mBCG
+    stream, preconditioner-distributed samples) routes through here so the flag flips
+    the whole estimator consistently."""
+    if settings.rademacher_probes.on():
+        return jax.random.rademacher(key, shape, dtype=dtype)
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
 class LinearOperator(DictPyTree):
     """Abstract lazy matrix: subclasses define ``_matmul``, ``_shape``, ``_diagonal``,
     ``to_dense`` and inherit solve/logdet/root machinery.

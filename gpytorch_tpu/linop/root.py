@@ -8,7 +8,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .base import DenseLinearOperator, LinearOperator, to_dense
+from .base import DenseLinearOperator, LinearOperator, probe_base_samples, to_dense
 from .diag import ConstantDiagLinearOperator, DiagLinearOperator
 
 
@@ -52,7 +52,7 @@ class RootLinearOperator(LinearOperator):
     def zero_mean_mvn_samples(self, key, num_samples):
         R = self.root.to_dense()
         k = R.shape[-1]
-        base = jax.random.normal(key, (num_samples,) + self.batch_shape + (k, 1), dtype=R.dtype)
+        base = probe_base_samples(key, (num_samples,) + self.batch_shape + (k, 1), R.dtype)
         return (R @ base)[..., 0]
 
 
@@ -145,8 +145,8 @@ class LowRankRootAddedDiagLinearOperator(LinearOperator):
         R = self._root
         k1, k2 = jax.random.split(key)
         k = R.shape[-1]
-        u1 = jax.random.normal(k1, (num_samples,) + self.batch_shape + (k, 1), dtype=R.dtype)
-        u2 = jax.random.normal(k2, (num_samples,) + self.batch_shape + (self.shape[-1],), dtype=R.dtype)
+        u1 = probe_base_samples(k1, (num_samples,) + self.batch_shape + (k, 1), R.dtype)
+        u2 = probe_base_samples(k2, (num_samples,) + self.batch_shape + (self.shape[-1],), R.dtype)
         return (R @ u1)[..., 0] + jnp.sqrt(self.diag_op._diag_values()) * u2
 
     def __add__(self, other):

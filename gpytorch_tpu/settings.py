@@ -264,6 +264,22 @@ class matvec_grad_only(_feature_flag):
     _default = False
 
 
+class rademacher_probes(_feature_flag):
+    """Draw SLQ/Hutchinson probe base vectors as Rademacher (±1) instead of standard
+    normal: z = R·r (+ D^{1/2}·r₂ for LLᵀ+D preconditioner samples) with r ∈ {−1,+1}ⁿ.
+
+    E[zzᵀ] is unchanged (the estimators only need the covariance), but the quadratic-form
+    estimator variance drops: Var[rᵀAr] = 2(‖A‖²_F − Σᵢ A²ᵢᵢ) vs the Gaussian 2‖A‖²_F —
+    strictly smaller, by a lot when A is diagonal-heavy (Hutchinson 1990; Avron &
+    Toledo 2011).  Free: a Rademacher draw is cheaper than a normal draw.  Applies to
+    the mBCG probe stream (solvers/inv_quad.py) and preconditioner-distributed draws
+    (linop/root.py).  The reference draws Gaussian (and optionally normalizes) —
+    linear_operator utils/probe_vectors; Rademacher is the standard lower-variance
+    choice in the SLQ literature (Ubaru et al. 2017)."""
+
+    _default = False
+
+
 class mbcg_grad_bf16(_feature_flag):
     """Run the mBCG backward's dK contractions (the fused backward kernel's K tiles) in
     one-pass bf16, regardless of the forward solve precision.

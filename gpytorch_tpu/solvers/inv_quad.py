@@ -248,11 +248,15 @@ def _mbcg_forward(cfg: _IQConfig, linop, rhs, key, x0):
             # matched-probe validation mode (settings.sharded_global_probes): every device
             # draws the GLOBAL (n, t) probe matrix from the same key and slices its row
             # block — a single-device solve with this key sees the identical probes
-            z_full = jax.random.normal(key, batch + (n, cfg.num_probes), dtype=dt)
+            from ..linop.base import probe_base_samples
+
+            z_full = probe_base_samples(key, batch + (n, cfg.num_probes), dt)
             row0 = jax.lax.axis_index(axis) * n_rows
             z = jax.lax.dynamic_slice_in_dim(z_full, row0, n_rows, axis=-2)
         else:
-            z = jax.random.normal(key, batch + (n_rows, cfg.num_probes), dtype=dt)
+            from ..linop.base import probe_base_samples
+
+            z = probe_base_samples(key, batch + (n_rows, cfg.num_probes), dt)
         z = jax.lax.stop_gradient(z)
         norms = jnp.sqrt(jnp.maximum(_rowsum(z * z), 1e-20))[..., None, :]  # (*batch, 1, t)
         probes = z / norms

@@ -191,3 +191,35 @@ def test_mbcg_gradients_grad_bf16_within_band():
     for k in params:
         ge, gb = np.asarray(g_exact[k]), np.asarray(g_bf16[k])
         np.testing.assert_allclose(gb, ge, rtol=0.15, atol=0.02, err_msg=k)
+
+
+def test_mbcg_rademacher_probes_value_and_gradients():
+    """settings.rademacher_probes: ±1 base draws through the preconditioner root keep
+    the estimator unbiased (E[zz^T] = P unchanged) — SLQ value within the 256-probe
+    band and hyper-gradients within the stochastic tolerance vs dense Cholesky."""
+    train_x, train_y, _, _ = _make_data(200)
+    lik = GaussianLikelihood()
+    model = ExactGPModel(train_x, train_y, lik)
+    lik.noise = 0.1
+    mll = ExactMarginalLogLikelihood(lik, model)
+    exact_val = float(mll(model(train_x), train_y))
+    with gp.settings.max_cholesky_size(0), gp.settings.cg_tolerance(1e-8), \
+            gp.settings.num_trace_samples(256), gp.settings.max_lanczos_quadrature_iterations(50), \
+            gp.settings.min_preconditioning_size(10), gp.settings.rademacher_probes(True):
+        rad_val = float(mll(model(train_x), train_y, key=jax.random.PRNGKey(3)))
+    assert abs(rad_val - exact_val) / abs(exact_val) < 0.02, (rad_val, exact_val)
+
+    params = model.trainable_params()
+
+    def loss_fn(p):
+        m = model.with_params(p)
+        return -ExactMarginalLogLikelihood(m.likelihood, m)(m(train_x), train_y)
+
+    g_exact = jax.grad(loss_fn)(params)
+    with gp.settings.max_cholesky_size(0), gp.settings.cg_tolerance(1e-8), \
+            gp.settings.num_trace_samples(128), gp.settings.max_lanczos_quadrature_iterations(50), \
+            gp.settings.min_preconditioning_size(10), gp.settings.rademacher_probes(True):
+        g_rad = jax.grad(loss_fn)(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_rad[k]), np.asarray(g_exact[k]),
+                                   rtol=0.15, atol=0.02, err_msg=k)
