@@ -24,11 +24,14 @@ in the calibrated basin: NLL −0.2535/−0.2537/−0.2675 (seeds 2/3/4), spread
 RMSE 0.179 everywhere (the task's oracle floor).  Round-3 reference points (floor
 1.5e-2, 31 probes, NTRI=10, seeds 2/3): 0.605 s/iter flat, 2.95× the cold mean
 (1.784 s/iter at 37 late-training iters) at equal RMSE.  Round-4 NTRI ladder at equal
-quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496, 7 → 0.460 — NTRI=7 is the shipped
-default (queue I: 2 seeds at RMSE 0.179, joint NLL −0.256..−0.273, noise 0.021-0.024,
-MFU ≈ 15.2%, plus the r4 driver capture BENCH_r04.json — a driver-identical full bench
-at NTRI=7, every field non-null — as the third data point; NTRI=8 was validated across
-8 seeds in queues E/G/H first).
+quality: 10 → 0.570 s/iter, 9 → 0.533, 8 → 0.496, 7 → 0.460.  Round-5 shipped
+default: **NTRI=6 with the honesty margin (tol 0.3, stall window 15)** — the adaptive
+rhs convergence runs past the floor only when the system is hard, which is what holds
+the NTRI=6 basin: 5/5 seeds (0,2,3,4,5) at 0.399-0.422 s/iter, RMSE 0.1790-0.1796,
+joint NLL −0.290..−0.296 (0.04 nats better than the r4 default at −8% wall; queues
+J/L, docs/perf-accounting.md).  BENCH_HONEST=1 is the reference-like-constraints
+quality recipe (floor 1e-4 + LogNormal noise prior + genuinely-converged rhs, NLL
+−0.297..−0.301 on 5/5 seeds, 0.52 s/iter).
 Accounting (cold fit 194 ms fixed +
 35.9 ms/iter R²=0.95; per-component split and round-4 revisions in
 docs/perf-accounting.md).  Guard rails, each measured: NTRI=5 collapses the noise hyper
@@ -105,23 +108,29 @@ def _solver_ctx(gp, use_pallas=True, bf16=True):
     st = contextlib.ExitStack()
     st.enter_context(gp.settings.max_cholesky_size(0))
     st.enter_context(gp.settings.max_cg_iterations(int(os.environ.get("BENCH_MAXITER", "100"))))
-    st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", "0.05" if _hn else "1.0"))))
+    # Shipped default tolerance 0.3 (rhs-warm): a MEANINGFUL tolerance is what lets the
+    # stall window bind adaptively — the round-5 "honesty margin" (queues J/L): the rhs
+    # column runs past the NTRI floor only when the system is actually hard, which is
+    # exactly what rescued the seed-3 basin at NTRI=6 (docs/perf-accounting.md).
+    _tol_default = "0.05" if _hn else ("0.3" if _wm == "rhs" else "1.0")
+    st.enter_context(gp.settings.cg_tolerance(float(os.environ.get("BENCH_TOL", _tol_default))))
     st.enter_context(gp.settings.num_trace_samples(int(os.environ.get("BENCH_PROBES", "63"))))
     # NTRI: cold mode = SLQ tridiag iterations (5 suffices for the logdet VALUE);
-    # rhs-warm mode = ALSO the probe-solve iteration floor.  7 is the round-4 validated
-    # knee under the cosine LR tail + final-iterate probe semantics: 0.459-0.460 s/iter
-    # at RMSE 0.179 / joint NLL −0.256..−0.273 / calibrated noise 0.021-0.024 across 2
-    # queue-I seeds + the r4 driver capture (docs/perf-accounting.md "Shipped default
-    # after queues E-I"; NTRI=8 = 0.497 s/iter at the
-    # same quality, 8 seeds, queues E/G/H).  5 collapses the noise hyper (probe solves
-    # too truncated for the logdet gradient even with VR); 20 costs 0.97 s/step for no
-    # quality gain.
-    _ntri_default = "7" if _wm == "rhs" else "5"
+    # rhs-warm mode = ALSO the probe-solve iteration floor.  Shipped default 6 WITH the
+    # honesty margin (tol 0.3, stall 15): round-5 queues J/L validated 5/5 seeds
+    # (0,2,3,4,5) at 0.399-0.422 s/iter, RMSE 0.1790-0.1796, joint NLL −0.290..−0.296
+    # (0.04 nats better than the r4 default, 0.006-nat spread) — the adaptive rhs
+    # honesty is what holds the NTRI=6 basin (plain NTRI=6 at tol 1.0 missed seed 3;
+    # NTRI=7 tol 1.0 = 0.423 s/iter at NLL −0.26; docs/perf-accounting.md round-5
+    # campaign).  5 collapses the noise hyper even with VR; NTRI=8 = 0.497 s/iter for
+    # no quality gain (8 seeds, r4 queues E/G/H).
+    _ntri_default = "6" if _wm == "rhs" else "5"
     st.enter_context(
         gp.settings.max_lanczos_quadrature_iterations(int(os.environ.get("BENCH_NTRI", _ntri_default)))
     )
     st.enter_context(gp.settings.max_preconditioner_size(int(os.environ.get("BENCH_PC_RANK", "50"))))
-    st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", "50" if _hn else "5"))))
+    _stall_default = "50" if _hn else ("15" if _wm == "rhs" else "5")
+    st.enter_context(gp.settings.cg_stall_window(int(os.environ.get("BENCH_STALL", _stall_default))))
     # Unroll CG's mandatory floor iterations as straight-line XLA (the rhs-warm default
     # runs exactly NTRI iterations, all of them floor-forced, so the whole solve unrolls)
     st.enter_context(gp.settings.cg_unroll(int(os.environ.get("BENCH_UNROLL", "0"))))
@@ -686,7 +695,7 @@ def main():
             apply_P, _, _ = covar._preconditioner()
             rhs = jax.random.normal(jax.random.PRNGKey(9), (N, t_cols), dtype=jnp.float32)
             _ntri = 0 if (_warm or _os.environ.get("BENCH_SKIP_LOGDET", "0") == "1") else int(
-                _os.environ.get("BENCH_NTRI", "7" if _warm_rhs else "5")
+                _os.environ.get("BENCH_NTRI", "6" if _warm_rhs else "5")
             )
             res = linear_cg(
                 lambda v: covar._matmul(v), rhs, precond_fn=apply_P, max_iter=100,
