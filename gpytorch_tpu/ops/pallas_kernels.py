@@ -212,13 +212,17 @@ def _dot_consistent(kv, vv, t_real: Optional[int] = None):
     return out + jnp.dot(k_hi, v_lo, preferred_element_type=jnp.float32)
 
 
-def _grid_params():
+def _grid_params(seq_rows: bool = False):
     """Mosaic pipelining hint: row blocks are independent ("parallel"); the column dim
-    revisits/accumulates the same output block sequentially ("arbitrary")."""
+    revisits/accumulates the same output block sequentially ("arbitrary").
+    ``seq_rows=True`` marks the row dim "arbitrary" too — required when a kernel
+    accumulates into ONE output block across the whole grid (the dos accumulator in
+    `_bwd_fused_pallas`); free on v5e's single tensorcore."""
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        return {"compiler_params": pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))}
+        sem = ("arbitrary", "arbitrary") if seq_rows else ("parallel", "arbitrary")
+        return {"compiler_params": pltpu.CompilerParams(dimension_semantics=sem)}
     except Exception:  # interpret mode / older pallas: hint unavailable
         return {}
 
@@ -430,8 +434,11 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
     # EVERY mode: the v5e AOT matrix (2026-08-19) showed n_sub=2 OOMs scoped VMEM for all
     # Matérn backwards at DEFAULT precision (the extra r/exp intermediates) and for all
     # bf16 backwards (the cast copies) — 22.4 MB against the 16 MB stack limit.  The inner
-    # sub-loop adds no grid overhead (measured ~free on the forward path).
-    n_sub = 4
+    # sub-loop adds no grid overhead (measured ~free on the forward path).  ×8 above
+    # N≈150k: the Mosaic scoped-vmem estimate crosses the 16 MB stack limit at large row
+    # counts (compile-time OOM, 18.53 MB measured at N=400k) — halving the sub-tile
+    # frees ~6 MB of live d2/kv/kp/W area.
+    n_sub = 8 if n > 150_000 else 4
     xp = _pad_to(_pad_to(x, Np, 0), Dp, 1)
     xpt = jnp.swapaxes(xp, 0, 1)  # (Dp, Np)
     gp = _pad_to(_pad_to(g, Np, 0), Tp, 1)
@@ -540,28 +547,36 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
             if need_dv:
                 dv_ref[:] = dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_acc.astype(dx_ref.dtype)
-            if need_dos:
-                _row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
-                dos_ref[:] = jnp.where(_row0, jnp.broadcast_to(dos_acc, (8, 128)), 0.0)
 
         @pl.when(j != 0)
         def _():
             if need_dv:
                 dv_ref[:] = dv_ref[:] + dv_acc.astype(dv_ref.dtype)
             dx_ref[:] = dx_ref[:] + dx_acc.astype(dx_ref.dtype)
-            if need_dos:
-                _row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
-                dos_ref[:] = dos_ref[:] + jnp.where(
-                    _row0, jnp.broadcast_to(dos_acc, (8, 128)), 0.0
-                )
+
+        if need_dos:
+            _row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+            _dos_blk = jnp.where(_row0, jnp.broadcast_to(dos_acc, (8, 128)), 0.0)
+
+            @pl.when((i == 0) & (j == 0))
+            def _():
+                dos_ref[:] = _dos_blk
+
+            @pl.when((i != 0) | (j != 0))
+            def _():
+                dos_ref[:] = dos_ref[:] + _dos_blk
 
     n_i = Np // _BN
     _dv_out_spec = [pl.BlockSpec((_BN, Tp), lambda i, j: (i, 0))] if need_dv else []
     _dv_out_shape = [jax.ShapeDtypeStruct((Np, Tp), v.dtype)] if need_dv else []
-    # dos: one (8, 128) block per row-block i (i is a PARALLEL grid dim — each i must own
-    # its output block; the sequential j sweep accumulates within it); summed outside
-    _dos_out_spec = [pl.BlockSpec((8, 128), lambda i, j: (i, 0))] if need_dos else []
-    _dos_out_shape = [jax.ShapeDtypeStruct((n_i * 8, 128), jnp.float32)] if need_dos else []
+    # dos: ONE shared (8, 128) block accumulated across the WHOLE grid.  A per-row-block
+    # accumulator ((n_i·8, 128)) gets placed in VMEM by XLA as a small output (S(1)),
+    # so its footprint scaled with N and blew the 16 MB scoped-VMEM budget at N≈350k+
+    # (measured: 18.53 MB at N=400k).  The shared block needs the row dim SEQUENTIAL
+    # ("arbitrary"), which costs nothing on v5e (one tensorcore — the grid is sequential
+    # on-core anyway; "parallel" only feeds the Megacore splitter on 2-core chips).
+    _dos_out_spec = [pl.BlockSpec((8, 128), lambda i, j: (0, 0))] if need_dos else []
+    _dos_out_shape = [jax.ShapeDtypeStruct((8, 128), jnp.float32)] if need_dos else []
     outs = pl.pallas_call(
         kernel,
         grid=(n_i, nj),
@@ -581,7 +596,7 @@ def _bwd_fused_pallas(x, g, v, kernel_type: int, need_dv: bool = True, need_dos:
             jax.ShapeDtypeStruct((Np, Dp), x.dtype),
         ] + _dos_out_shape,
         interpret=_interpret(),
-        **(_grid_params() if not _interpret() else {}),
+        **(_grid_params(seq_rows=need_dos) if not _interpret() else {}),
     )(xp, xp2, xp2t, gp, gp2, vp, vp2)
     outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
     dv = outs.pop(0)[:n, :t] if need_dv else None
